@@ -1,0 +1,46 @@
+"""Positional encodings.
+
+Behavioral parity targets:
+- table-form sine embedding (reference: model/tfm_model.py:137-148)
+- linear interpolation of the positional table for eval windows != train length
+  (reference: model/tan_model.py:157-160 uses F.interpolate(mode='linear',
+  align_corners=False))
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def sine_position_embedding(
+    feature_dim: int = 512, num_features: int = 1024, temperature: float = 10000.0
+) -> jnp.ndarray:
+    """[num_features, feature_dim] sine table (tfm_model.py:137-148 semantics)."""
+    scale = 2 * math.pi
+    eps = 1e-6
+    pos = jnp.arange(num_features, dtype=jnp.float32)
+    pos = pos / (pos[-1] + eps) * scale
+    dim_t = jnp.arange(feature_dim, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / feature_dim)
+    ang = pos[:, None] / dim_t  # [P, D]
+    # interleave sin of even channels with cos of odd channels
+    emb = jnp.stack((jnp.sin(ang[:, 0::2]), jnp.cos(ang[:, 1::2])), axis=2)
+    return emb.reshape(num_features, feature_dim)
+
+
+def linear_interpolate(table: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """1-D linear resize along axis 0, matching torch F.interpolate(align_corners=False).
+
+    table: [L_src, D] -> [out_len, D].
+    """
+    src_len = table.shape[0]
+    scale = src_len / out_len
+    # source coordinate of each output sample (half-pixel centers)
+    coords = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    coords = jnp.clip(coords, 0.0, src_len - 1)
+    lo = jnp.floor(coords).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, src_len - 1)
+    w = (coords - lo.astype(jnp.float32))[:, None]
+    return table[lo] * (1.0 - w) + table[hi] * w

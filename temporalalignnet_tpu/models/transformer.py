@@ -1,0 +1,189 @@
+"""CLIP-style pre-LN transformer encoder with per-layer taps.
+
+Behavioral parity with reference model/tfm_model.py:17-55:
+- block: x_norm = ln_1(x); x = x + attn(x_norm); x = x + mlp(ln_2(x)); QuickGELU MLP.
+- the encoder returns per-layer intermediates: the ln_1-normalized *inputs* of
+  layers 2..L plus the final (un-normalized) output — exactly the
+  ``intermediate.pop(0); intermediate.append(x)`` dance at tfm_model.py:48-55.
+  These taps feed the multi-layer MIL-NCE loss.
+
+Layout is batch-first [B, S, D] (the reference permutes to torch's [S, B, D]; that
+is a torch-ism, not semantics).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from temporalalignnet_tpu.ops.attention import multihead_attention
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) (reference tfm_model.py:11-13)."""
+    return x * nn.sigmoid(1.702 * x)
+
+
+def _kinit(std):
+    """CLIP-style normal(std) kernel init; None = flax default (lecun)."""
+    return nn.initializers.normal(stddev=std) if std else nn.linear.default_kernel_init
+
+
+class MultiheadSelfAttention(nn.Module):
+    """Self-attention with separate q/k/v projections (TP-shardable on heads).
+
+    The torch reference packs QKV into one in_proj_weight [3D, D]
+    (nn.MultiheadAttention); the checkpoint converter splits it into these three.
+    Init stds follow the CLIP scaling applied at tan_model.py:85-97.
+    """
+
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    attn_std: float = 0.0
+    proj_std: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None):
+        B, S, D = x.shape
+        dh = self.width // self.heads
+        dense = lambda name, std: nn.Dense(
+            self.width,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_kinit(std),
+            bias_init=nn.initializers.zeros,
+            name=name,
+        )
+        q = dense("q_proj", self.attn_std)(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
+        k = dense("k_proj", self.attn_std)(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
+        v = dense("v_proj", self.attn_std)(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
+        out = multihead_attention(q, k, v, key_padding_mask, use_pallas=self.use_pallas)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return dense("out_proj", self.proj_std)(out)
+
+
+class MLP(nn.Module):
+    width: int
+    ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    fc_std: float = 0.0
+    proj_std: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(
+            self.width * self.ratio,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_kinit(self.fc_std),
+            name="c_fc",
+        )(x)
+        h = quick_gelu(h)
+        return nn.Dense(
+            self.width,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_kinit(self.proj_std),
+            name="c_proj",
+        )(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN block returning (output, ln_1(input)) (tfm_model.py:34-38)."""
+
+    width: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    attn_std: float = 0.0
+    proj_std: float = 0.0
+    fc_std: float = 0.0
+
+    def setup(self):
+        self.attn = MultiheadSelfAttention(
+            self.width,
+            self.heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
+            attn_std=self.attn_std,
+            proj_std=self.proj_std,
+        )
+        # torch LayerNorm eps = 1e-5
+        self.ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.ln_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.mlp = MLP(
+            self.width,
+            self.mlp_ratio,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            fc_std=self.fc_std,
+            proj_std=self.proj_std,
+        )
+
+    def __call__(self, x, key_padding_mask=None):
+        x_norm = self.ln_1(x)
+        x = x + self.attn(x_norm, key_padding_mask)
+        x = x + self.mlp(self.ln_2(x))
+        return x, x_norm
+
+    def pre_norm(self, x):
+        """Apply this block's ln_1 only (used for the per-layer tap of the
+        previous block's output)."""
+        return self.ln_1(x)
+
+
+class TemporalEncoder(nn.Module):
+    """Stack of blocks; returns the per-layer intermediate list.
+
+    Output list (length == layers):
+      [ln_1^{(2)}(out_1), ln_1^{(3)}(out_2), ..., ln_1^{(L)}(out_{L-1}), out_L]
+    i.e. each non-final layer's output normalized by the *next* block's ln_1
+    (tfm_model.py:48-55).  The caller applies its own post-LN to the final element
+    (tan_model.py:174, 206).
+    """
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    attn_std: float = 0.0
+    proj_std: float = 0.0
+    fc_std: float = 0.0
+
+    def setup(self):
+        self.resblocks = [
+            ResidualAttentionBlock(
+                self.width,
+                self.heads,
+                self.mlp_ratio,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                use_pallas=self.use_pallas,
+                attn_std=self.attn_std,
+                proj_std=self.proj_std,
+                fc_std=self.fc_std,
+                name=f"resblocks_{i}",
+            )
+            for i in range(self.layers)
+        ]
+
+    def __call__(self, x, key_padding_mask=None) -> List[jnp.ndarray]:
+        intermediate = []
+        for block in self.resblocks:
+            x, x_norm = block(x, key_padding_mask)
+            intermediate.append(x_norm)
+        intermediate.pop(0)
+        intermediate.append(x)
+        return intermediate

@@ -1,0 +1,15 @@
+from temporalalignnet_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_sharding_rules,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "param_sharding_rules",
+    "shard_params",
+]

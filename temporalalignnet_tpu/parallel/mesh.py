@@ -1,0 +1,100 @@
+"""Device mesh and sharding rules.
+
+The reference's only real distribution is NCCL DDP on the end2end path
+(end2end/main_nce.py:283-285); TAN training itself is single-GPU
+(train/main.py:256-257, model never wrapped).  The TPU-native design replaces all of
+that with a single ``jax.sharding.Mesh`` and GSPMD:
+
+- ``data`` axis: batch sharded.  The MIL-NCE loss couples every video token with
+  every sentence in the global batch (train/loss.py:84-85); under pjit, annotating the
+  batch with PartitionSpec('data') makes XLA insert the all-gather of the (cheap,
+  512-d) normalized features over ICI automatically — no hand-written collectives.
+- ``model`` axis: tensor-parallel sharding of attention heads and MLP hidden dim.
+  The reference model is only 512-wide so TP is optional (SURVEY §2.8), but the rules
+  are wired so larger variants scale.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(dp_size: int = -1, tp_size: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    dp_size == -1 means "all devices / tp_size".
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp_size == -1:
+        assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
+        dp_size = n // tp_size
+    assert dp_size * tp_size == n, f"dp {dp_size} x tp {tp_size} != {n} devices"
+    dev_array = np.asarray(devices).reshape(dp_size, tp_size)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel rules, matched against '/'-joined flax param paths.
+# Head-sharded projections: q/k/v kernels [D, D] shard output dim; out kernel [D, D]
+# shards input dim (row-parallel => psum on output, inserted by GSPMD).
+# MLP: c_fc kernel [D, 4D] shards hidden out-dim, c_proj [4D, D] shards in-dim.
+_TP_RULES = (
+    (re.compile(r".*attn/(q_proj|k_proj|v_proj)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*attn/(q_proj|k_proj|v_proj)/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*attn/out_proj/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*mlp/c_fc/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*mlp/c_fc/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*mlp/c_proj/kernel$"), P(MODEL_AXIS, None)),
+)
+
+
+def param_sharding_rules(path: str) -> P:
+    """PartitionSpec for one parameter, given its '/'-joined path."""
+    for pattern, spec in _TP_RULES:
+        if pattern.match(path):
+            return spec
+    return P()  # replicated
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Return a pytree of NamedShardings mirroring ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: NamedSharding(mesh, param_sharding_rules(_path_str(path))),
+        params,
+    )
+
+
+def place_params(params: Any, mesh: Mesh) -> Any:
+    """Device_put params according to the TP rules."""
+    shardings = shard_params(params, mesh)
+    return jax.device_put(params, shardings)
