@@ -214,9 +214,13 @@ def get_loss(
             pos_weight = 1.0 / jnp.clip(labels_sel_mean, 1e-6) - 1.0
 
             logit_dual_a = outputs["dual_logits_alignability"][..., 0].reshape(B * N)
-            # the joint head trains on one specific layer (loss.py:341)
+            # the joint head trains on one specific layer (loss.py:341); clamp for
+            # shallow configs (jax OOB indexing would silently drop the gradient)
+            a_layer = min(
+                cfg.alignability_layer, outputs["joint_logits_alignability"].shape[1] - 1
+            )
             logit_joint_a = outputs["joint_logits_alignability"][
-                :, cfg.alignability_layer, :, 0
+                :, a_layer, :, 0
             ].reshape(B * N)
 
             loss_bce_joint = _bce_with_logits(

@@ -1,0 +1,172 @@
+"""Jitted train step: forward + loss + grad + optimizer + EMA in ONE pjit program.
+
+Replaces the reference inner loop (train/main.py:33-162):
+- amp.autocast/GradScaler        -> bf16 compute policy, fp32 loss, no scaler
+- loss.backward()/optimizer.step -> jax.value_and_grad + optax in the same program
+- TwinTemporalAligner EMA module -> a second param pytree updated by tree_map
+  (tan_model.py:340-344), with the target branch running deterministic
+  (random_pos_start off, tan_model.py:333)
+- NCCL DDP                       -> GSPMD: batch sharded over the 'data' mesh axis,
+  params replicated (or TP-sharded); XLA inserts the cross-device all-gather the
+  global in-batch negatives need (SURVEY §2.8)
+
+Batch dict (all fixed shapes):
+  video [B,T,Cv] f32, video_padding_mask [B,T] bool, input_ids [B,N,W] i32,
+  text_padding_mask [B,N] bool, start [B,N] f32, end [B,N] f32,
+  abs_text_pos [B,N,2] f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from temporalalignnet_tpu.core.config import LossConfig, ModelConfig, TrainConfig
+from temporalalignnet_tpu.losses.tan_loss import get_loss
+from temporalalignnet_tpu.models.net import TANWithText
+from temporalalignnet_tpu.parallel.mesh import DATA_AXIS
+from temporalalignnet_tpu.train.optimizer import make_optimizer
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any  # None for Stage-1 'init'
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def create_train_state(
+    model: TANWithText,
+    cfg: TrainConfig,
+    loss_cfg: LossConfig,
+    sample_batch: Dict[str, jnp.ndarray],
+    seed: int = 0,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    """Init params (+EMA copy for cotrain, tan_model.py:335-338) and optimizer.
+
+    With a mesh, params are placed per the TP rules (replicated by default) and the
+    optimizer state is built under jit so its moments inherit the param shardings —
+    from then on plain jax.jit propagates shardings from its committed inputs.
+    """
+    rng = jax.random.PRNGKey(seed)
+    params = model.init(
+        {"params": rng, "pos": jax.random.fold_in(rng, 1)},
+        sample_batch["video"],
+        sample_batch["input_ids"],
+        deterministic=False,
+    )["params"]
+    tx = make_optimizer(cfg, params, policy=loss_cfg.optim_policy)
+    if mesh is not None:
+        from temporalalignnet_tpu.parallel.mesh import place_params
+
+        params = place_params(params, mesh)
+        opt_state = jax.jit(tx.init)(params)
+    else:
+        opt_state = tx.init(params)
+    # EMA target starts as a true copy (tan_model.py:335-338); must not alias the
+    # online buffers or donation in the jitted step double-donates them.
+    ema = (
+        jax.tree_util.tree_map(lambda x: x.copy(), params)
+        if loss_cfg.model == "cotrain"
+        else None
+    )
+    return (
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=ema,
+            opt_state=opt_state,
+            rng=jax.random.fold_in(rng, 2),
+        ),
+        tx,
+    )
+
+
+def make_train_step(
+    model: TANWithText,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    loss_cfg: LossConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    cotrain = loss_cfg.model == "cotrain"
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params},
+                batch["video"],
+                batch["input_ids"],
+                video_padding_mask=batch["video_padding_mask"],
+                lang_padding_mask=batch["text_padding_mask"],
+                deterministic=False,
+                rngs={"pos": step_rng},
+            )
+            if cotrain:
+                # EMA branch: no grad, no random pos start (tan_model.py:333,349-351)
+                ema_out = model.apply(
+                    {"params": state.ema_params},
+                    batch["video"],
+                    batch["input_ids"],
+                    video_padding_mask=batch["video_padding_mask"],
+                    lang_padding_mask=batch["text_padding_mask"],
+                    deterministic=True,
+                )
+                outputs = dict(
+                    outputs,
+                    **{
+                        f"ema-{k}": jax.lax.stop_gradient(v)
+                        for k, v in ema_out.items()
+                    },
+                )
+            return get_loss(outputs, batch, loss_cfg)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params = state.ema_params
+        if cotrain:
+            # momentum update only on real optimizer steps (main.py:112-122);
+            # with gradient accumulation the effective momentum becomes 1 on
+            # accumulation-only steps.
+            is_update = (state.step + 1) % cfg.backprop_freq == 0
+            m = jnp.where(is_update, cfg.ema_momentum, 1.0)
+            ema_params = jax.tree_util.tree_map(
+                lambda t, o: t * m + o * (1.0 - m), state.ema_params, params
+            )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+            rng=state.rng,
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    # Sharding is carried by the inputs: create_train_state(mesh=...) places the
+    # state per the TP rules, the data pipeline device_puts batches with
+    # PartitionSpec('data'), and jit/GSPMD propagates — collectives (grad
+    # all-reduce over 'data', activation collectives over 'model') are inserted
+    # automatically and ride ICI.
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    """device_put a host batch with the leading axis sharded over 'data'."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -8,9 +8,11 @@ CI-testable on one host.
 
 import os
 
-# Force CPU regardless of ambient JAX_PLATFORMS (the box presets axon/TPU);
-# set TAN_TEST_PLATFORM=tpu to run the suite on real hardware instead.
-os.environ["JAX_PLATFORMS"] = os.environ.get("TAN_TEST_PLATFORM", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (the box presets axon/TPU and a
+# sitecustomize overrides the env var); jax.config.update below is what actually
+# bites.  Set TAN_TEST_PLATFORM=axon to run the suite on real hardware instead.
+_PLATFORM = os.environ.get("TAN_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _PLATFORM
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 import numpy as np
 import pytest
+
+jax.config.update("jax_platforms", _PLATFORM)
 
 # Persistent compile cache: the suite re-jits many tiny programs; this cuts repeat
 # runs from minutes to seconds on the 1-core CI host.

@@ -1,0 +1,168 @@
+"""Train-step tests: loss decreases, EMA semantics, multi-device parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from temporalalignnet_tpu.core.config import LossConfig, ModelConfig, TrainConfig
+from temporalalignnet_tpu.data.synthetic import synthetic_batch
+from temporalalignnet_tpu.models.net import TANWithText
+from temporalalignnet_tpu.parallel.mesh import make_mesh
+from temporalalignnet_tpu.train.train_step import (
+    create_train_state,
+    make_train_step,
+    shard_batch,
+)
+
+TINY = dict(
+    width=64,
+    heads=4,
+    num_encoder_layers=2,
+    num_joint_layers=2,
+    video_embed_dim=48,
+    num_pos_embeds=128,
+)
+
+
+def tiny_setup(loss_kw=None, train_kw=None, B=4, T=32, N=4, mesh=None, seed=0):
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(
+        rng, batch_size=B, seq_len=T, max_sentences=N, feature_dim=TINY["video_embed_dim"],
+        vocab_size=50, max_words=8,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss_cfg = LossConfig(**(loss_kw or {}))
+    mcfg = ModelConfig(
+        use_alignability_head=loss_cfg.use_alignability_head, **TINY
+    )
+    model = TANWithText(mcfg, vocab_size=51)
+    tkw = dict(lr=1e-3, warmup_iterations=2, total_iterations=100)
+    tkw.update(train_kw or {})
+    tcfg = TrainConfig(**tkw)
+    state, tx = create_train_state(model, tcfg, loss_cfg, batch, seed=seed, mesh=mesh)
+    step = make_train_step(model, tx, tcfg, loss_cfg)
+    return model, state, step, batch
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        _, state, step, batch = tiny_setup()
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_cotrain_ema_tracks_online(self):
+        _, state, step, batch = tiny_setup(
+            loss_kw=dict(
+                model="cotrain",
+                learn_agreement=True,
+                use_alignability_head=True,
+                loss_threshold=0.5,
+            )
+        )
+        leaf = lambda tree: tree["aligner"]["temporal_pos_embed"]
+        p0 = leaf(state.params).copy()
+        e0 = leaf(state.ema_params).copy()
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(e0))  # copied at init
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        p1 = leaf(state.params)
+        e1 = leaf(state.ema_params)
+        # EMA moved, but much less than online (m=0.999)
+        d_online = float(jnp.abs(p1 - p0).max())
+        d_ema = float(jnp.abs(e1 - e0).max())
+        assert d_online > 0 and d_ema > 0
+        assert d_ema < d_online * 0.1
+        assert np.isfinite(float(metrics["confidence-ratio"]))
+
+    def test_frozen_word_embedding(self):
+        _, state, step, batch = tiny_setup()
+        w0 = np.asarray(state.params["lang_model"]["word_embd"]["embedding"]).copy()
+        for _ in range(3):
+            state, _ = step(state, batch)
+        w1 = np.asarray(state.params["lang_model"]["word_embd"]["embedding"])
+        np.testing.assert_array_equal(w0, w1)
+
+    def test_bce_policy_only_updates_head(self):
+        _, state, step, batch = tiny_setup(
+            loss_kw=dict(use_alignability_head=True, optim_policy="bce")
+        )
+        before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.params)
+        for _ in range(2):
+            state, _ = step(state, batch)
+        after = state.params
+        flat_b = jax.tree_util.tree_leaves_with_path(before)
+        flat_a = dict(jax.tree_util.tree_leaves_with_path(after))
+        # reuse path ordering
+        changed, unchanged = [], []
+        for path, vb in flat_b:
+            va = np.asarray(dict(flat_b)[path]) if False else None
+        for (path, vb), (path2, va) in zip(
+            jax.tree_util.tree_leaves_with_path(before),
+            jax.tree_util.tree_leaves_with_path(after),
+        ):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if np.array_equal(np.asarray(vb), np.asarray(va)):
+                unchanged.append(name)
+            else:
+                changed.append(name)
+        assert changed, "binary head must update"
+        assert all("binary_head" in n for n in changed), changed
+
+    def test_grad_accumulation(self):
+        """backprop_freq=2: params move only every 2nd step."""
+        # warmup off: the first optimizer step otherwise has lr == 0 (the
+        # reference schedule also starts at multiplier 0, main.py:489-490)
+        _, state, step, batch = tiny_setup(
+            train_kw=dict(backprop_freq=2, warmup_iterations=0)
+        )
+        leaf = lambda tree: np.asarray(tree["aligner"]["temporal_pos_embed"])
+        p0 = leaf(state.params).copy()
+        state, _ = step(state, batch)
+        p1 = leaf(state.params)
+        np.testing.assert_array_equal(p0, p1)  # accumulation-only step
+        state, _ = step(state, batch)
+        p2 = leaf(state.params)
+        assert not np.array_equal(p1, p2)
+
+
+class TestMultiDevice:
+    def test_dp_matches_single_device(self):
+        """Same batch, same init: the 8-way data-parallel step must produce the
+        same loss and (numerically close) params as single-device — GSPMD's
+        all-gathered negatives preserve the global MIL-NCE coupling."""
+        assert jax.device_count() >= 8
+
+        _, state_s, step_s, batch = tiny_setup(B=8)
+        for _ in range(2):
+            state_s, metrics_s = step_s(state_s, batch)
+
+        mesh = make_mesh(dp_size=8, tp_size=1)
+        model, state_m, step_m, _ = tiny_setup(B=8, mesh=mesh)
+        sharded = shard_batch(batch, mesh)
+        for _ in range(2):
+            state_m, metrics_m = step_m(state_m, sharded)
+
+        np.testing.assert_allclose(
+            float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
+        )
+        ps = jax.tree_util.tree_leaves(state_s.params)[0]
+        pm = jax.tree_util.tree_leaves(state_m.params)[0]
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pm), atol=1e-4)
+
+    def test_dp_tp_mesh_runs(self):
+        """dp=4 x tp=2 mesh: step executes and matches single-device loss."""
+        mesh = make_mesh(dp_size=4, tp_size=2)
+        _, state_s, step_s, batch = tiny_setup(B=4)
+        _, metrics_s = step_s(state_s, batch)
+
+        model, state_m, step_m, _ = tiny_setup(B=4, mesh=mesh)
+        sharded = shard_batch(batch, mesh)
+        _, metrics_m = step_m(state_m, sharded)
+        np.testing.assert_allclose(
+            float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
+        )
