@@ -1,0 +1,270 @@
+"""Zero-shot HTM-Align evaluation — the reference's throughput-critical path.
+
+Replicates eval/eval_zeroshot_align.py:97-252 exactly, but TPU-shaped: the
+reference runs a Python loop over overlapping 64-s windows with batch-1 device
+copies per window; here all windows of a video become ONE fixed-shape batched jit
+call (windows padded to a chunk, sentences padded to a bucket, inactive sentences
+key-masked in the joint encoder — proven equivalent to passing the exact subset in
+tests/test_model.py::test_text_padding_mask_isolates_sentences).
+
+Leak-freedom is preserved: active sentence windows are derived only from
+NON-alignable sentences' original ASR timestamps (eval_zeroshot_align.py:143-167).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from temporalalignnet_tpu.core.config import EvalConfig
+from temporalalignnet_tpu.eval.metrics import roc_auc_score
+from temporalalignnet_tpu.models.net import TANWithText
+
+MASK_VALUE = -6.0e4
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class AlignmentEvaluator:
+    """Batched overlap-seq / global aligner.
+
+    ``corpus`` items: {'video': np [vlen, C], 'sentences': list of
+    {'aligned': 0/1, 'start': float, 'end': float, 'input_ids': np [W] int}}.
+    """
+
+    def __init__(self, model: TANWithText, params, cfg: EvalConfig):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        a_layer = min(cfg.alignability_layer, model.cfg.num_joint_layers - 1)
+        use_head = model.cfg.use_alignability_head
+
+        def encode_text(params, input_ids):
+            mask = (input_ids != 0).astype(jnp.int32)
+            return model.apply(
+                {"params": params},
+                input_ids,
+                mask,
+                method=TANWithText.encode_text,
+            )
+
+        def window_sims(params, windows, win_pad, text_embed, text_pad):
+            # windows [Wb,T,C]; text_embed [N,Ct] broadcast across windows
+            Wb = windows.shape[0]
+            text_b = jnp.broadcast_to(
+                text_embed[None], (Wb,) + text_embed.shape
+            )
+            sims = model.apply(
+                {"params": params},
+                windows,
+                text_b,
+                video_padding_mask=win_pad,
+                lang_padding_mask=text_pad,
+                method=TANWithText.text_visual_sims,
+            )
+            # last layer, / temperature (train/main.py:183-184)
+            joint = sims["sim"][:, -1] / 0.07  # [Wb, T, N]
+            dual = sims["dual-sim"][:, -1] / 0.07
+            if use_head:
+                a_dual = sims["alignability-dual"][:, :, 0]  # [Wb, N]
+                a_joint = sims["alignability-joint"][:, a_layer, :, 0]
+            else:
+                # max over in-window (non-padded) time (eval_zeroshot_align.py:191-192)
+                tmask = win_pad[:, :, None]
+                a_dual = jnp.max(jnp.where(tmask, -jnp.inf, dual), axis=1)
+                a_joint = jnp.max(jnp.where(tmask, -jnp.inf, joint), axis=1)
+            return joint, dual, a_dual, a_joint
+
+        def global_sims(params, video, vid_pad, text_embed, text_pad, eff_len):
+            sims = model.apply(
+                {"params": params},
+                video[None],
+                text_embed[None],
+                video_padding_mask=vid_pad[None],
+                lang_padding_mask=text_pad[None],
+                interpolate_from=cfg.seq_len,
+                effective_len=eff_len,
+                method=TANWithText.text_visual_sims,
+            )
+            joint = sims["sim"][0, -1] / 0.07  # [T, N]
+            dual = sims["dual-sim"][0, -1] / 0.07
+            if use_head:
+                a_dual = sims["alignability-dual"][0, :, 0]
+                a_joint = sims["alignability-joint"][0, a_layer, :, 0]
+            else:
+                tmask = vid_pad[:, None]
+                a_dual = jnp.max(jnp.where(tmask, -jnp.inf, dual), axis=0)
+                a_joint = jnp.max(jnp.where(tmask, -jnp.inf, joint), axis=0)
+            return joint, dual, a_dual, a_joint
+
+        self._encode_text = jax.jit(encode_text)
+        self._window_sims = jax.jit(window_sims)
+        self._global_sims = jax.jit(global_sims)
+
+    # ---------------------------------------------------------------- host side
+
+    def _active_text_mask(
+        self, idx: int, step: float, num_steps: int, vlen: int,
+        aligned: np.ndarray, mid_ts: np.ndarray,
+    ) -> Optional[np.ndarray]:
+        """Reference active-window selection (eval_zeroshot_align.py:149-167)."""
+        seq_len = self.cfg.seq_len
+        n_text = aligned.shape[0]
+        nonalignable_idx = np.arange(n_text)[~aligned.astype(bool)]
+        nonalignable_mid = mid_ts[~aligned.astype(bool)]
+        in_window = (step - seq_len <= nonalignable_mid) & (
+            nonalignable_mid <= step + 2 * seq_len
+        )
+        active_na = nonalignable_idx[in_window]
+        if len(active_na) == 0:
+            return None
+        left, right = int(active_na.min()), int(active_na.max())
+        if idx <= 3:
+            left = 0
+        elif idx >= num_steps - 4:
+            right = vlen  # reference quirk: clamps via slicing (:166)
+        mask = np.zeros(n_text, bool)
+        mask[left : right + 1] = True
+        return mask
+
+    def evaluate_video(self, item: Dict) -> Dict[str, np.ndarray]:
+        """Returns {'sim': [N, vlen] canvas, 'align_score': [N]}."""
+        cfg = self.cfg
+        video = np.asarray(item["video"], np.float32)
+        vlen = video.shape[0]
+        sents = item["sentences"]
+        n_text = len(sents)
+        aligned = np.array([s["aligned"] for s in sents])
+        starts = np.array([s["start"] for s in sents], np.float32)
+        ends = np.array([s["end"] for s in sents], np.float32)
+        mid_ts = (starts + ends) / 2.0
+
+        # encode all sentences once (bucketed)
+        n_bucket = _round_up(n_text, 8)
+        ids = np.zeros((n_bucket, len(sents[0]["input_ids"])), np.int32)
+        for i, s in enumerate(sents):
+            ids[i] = s["input_ids"]
+        text_embed = self._encode_text(self.params, jnp.asarray(ids))  # [Nb, Ct]
+        global_text_pad = np.arange(n_bucket) >= n_text
+
+        if cfg.method == "global":
+            return self._evaluate_global(video, text_embed, global_text_pad, n_text)
+
+        seq_len = cfg.seq_len
+        steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
+
+        work = []  # (step, active_mask)
+        for idx, step in enumerate(steps):
+            m = self._active_text_mask(idx, step, len(steps), vlen, aligned, mid_ts)
+            if m is not None and m.sum() > 0:
+                work.append((int(step), m))
+
+        logits = np.zeros((n_text, vlen), np.float32)
+        logits_dual = np.zeros((n_text, vlen), np.float32)
+        counter = np.zeros((n_text, vlen), np.float32)
+        a_dual_acc = np.zeros(n_text, np.float32)
+        a_joint_acc = np.zeros(n_text, np.float32)
+        t_counter = np.zeros(n_text, np.float32)
+
+        chunk = cfg.batch_windows
+        for c0 in range(0, len(work), chunk):
+            part = work[c0 : c0 + chunk]
+            Wb = chunk
+            wins = np.zeros((Wb, seq_len, video.shape[1]), np.float32)
+            wpad = np.ones((Wb, seq_len), bool)
+            tpad = np.ones((Wb, n_bucket), bool)
+            for w, (step, m) in enumerate(part):
+                valid = min(vlen, step + seq_len) - step
+                wins[w, :valid] = video[step : step + valid]
+                wpad[w, :valid] = False
+                tpad[w, :n_text] = ~m
+            joint, dual, a_d, a_j = self._window_sims(
+                self.params,
+                jnp.asarray(wins),
+                jnp.asarray(wpad),
+                text_embed,
+                jnp.asarray(tpad),
+            )
+            joint = np.asarray(joint)
+            dual = np.asarray(dual)
+            a_d = np.asarray(a_d)
+            a_j = np.asarray(a_j)
+            for w, (step, m) in enumerate(part):
+                valid = min(vlen, step + seq_len) - step
+                logits[m, step : step + valid] += joint[w, :valid, : n_text].T[m]
+                logits_dual[m, step : step + valid] += dual[w, :valid, : n_text].T[m]
+                counter[m, step : step + valid] += 1.0
+                a_dual_acc[m] += a_d[w, :n_text][m]
+                a_joint_acc[m] += a_j[w, :n_text][m]
+                t_counter[m] += 1.0
+
+        eps = 1e-5
+        logits = logits / np.maximum(counter, eps)  # the ROC-AUC bugfix norm (:200-204)
+        logits_dual = logits_dual / np.maximum(counter, eps)
+        a_joint_acc = a_joint_acc / np.maximum(t_counter, eps)
+        a_dual_acc = a_dual_acc / np.maximum(t_counter, eps)
+        sim = (logits + logits_dual) / 2.0  # (:205)
+
+        if self.model.cfg.use_alignability_head:
+            align_score = a_joint_acc  # (:218-219)
+        else:
+            masked = np.where(sim == 0, MASK_VALUE, sim)
+            align_score = masked.max(-1)  # (:221-229)
+        return {"sim": sim, "align_score": align_score}
+
+    def _evaluate_global(self, video, text_embed, text_pad, n_text):
+        cfg = self.cfg
+        vlen = video.shape[0]
+        t_bucket = _round_up(vlen, 64)
+        vid = np.zeros((t_bucket, video.shape[1]), np.float32)
+        vid[:vlen] = video
+        vpad = np.arange(t_bucket) >= vlen
+        joint, dual, a_d, a_j = self._global_sims(
+            self.params,
+            jnp.asarray(vid),
+            jnp.asarray(vpad),
+            text_embed,
+            jnp.asarray(text_pad),
+            jnp.asarray(vlen, jnp.int32),
+        )
+        sim = np.asarray(joint)[:vlen, :n_text].T  # [N, vlen] (:209-210)
+        if self.model.cfg.use_alignability_head:
+            align_score = np.asarray(a_j)[:n_text]
+        else:
+            align_score = np.asarray(a_j)[:n_text]
+        return {"sim": sim, "align_score": align_score}
+
+    def evaluate(self, corpus: Sequence[Dict]) -> Dict[str, float]:
+        """Full-corpus metrics: Recall (R@1 over alignable sentences) and ROC-AUC
+        over alignability (eval_zeroshot_align.py:222-250)."""
+        recall = []
+        all_scores, all_tgts = [], []
+        for item in corpus:
+            res = self.evaluate_video(item)
+            sim = res["sim"]
+            sents = item["sentences"]
+            aligned = np.array([s["aligned"] for s in sents]).astype(bool)
+
+            all_scores.append(res["align_score"])
+            all_tgts.append(aligned.astype(int))
+
+            masked = np.where(sim == 0, MASK_VALUE, sim)
+            for i in np.nonzero(aligned)[0]:
+                s = math.floor(sents[i]["start"])
+                e = math.ceil(sents[i]["end"])
+                arg = int(masked[i].argmax())
+                recall.append(s <= arg <= e)
+        auc = roc_auc_score(np.concatenate(all_tgts), np.concatenate(all_scores))
+        return {"Recall": float(np.mean(recall)), "AUC": auc}
+
+
+def test_alignment(model, params, corpus, cfg: Optional[EvalConfig] = None):
+    """Functional entry mirroring test_alignment_htm (eval_zeroshot_align.py:97)."""
+    return AlignmentEvaluator(model, params, cfg or EvalConfig()).evaluate(corpus)

@@ -82,9 +82,15 @@ class TANWithText(nn.Module):
         video_padding_mask: Optional[jnp.ndarray] = None,
         lang_padding_mask: Optional[jnp.ndarray] = None,
         interpolate_from: Optional[int] = None,
+        effective_len=None,
     ):
         return self.aligner.get_text_visual_sims(
-            video, text_embed, video_padding_mask, lang_padding_mask, interpolate_from
+            video,
+            text_embed,
+            video_padding_mask,
+            lang_padding_mask,
+            interpolate_from,
+            effective_len=effective_len,
         )
 
     def visual_feature(
@@ -92,9 +98,14 @@ class TANWithText(nn.Module):
         video: jnp.ndarray,
         video_padding_mask: Optional[jnp.ndarray] = None,
         interpolate_from: Optional[int] = None,
+        effective_len=None,
     ):
         return self.aligner.get_visual_feature(
-            video, video_padding_mask, interpolate_from, deterministic=True
+            video,
+            video_padding_mask,
+            interpolate_from,
+            deterministic=True,
+            effective_len=effective_len,
         )
 
     def textual_feature(self, text_embed: jnp.ndarray):

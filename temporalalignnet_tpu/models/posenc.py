@@ -30,13 +30,22 @@ def sine_position_embedding(
     return emb.reshape(num_features, feature_dim)
 
 
-def linear_interpolate(table: jnp.ndarray, out_len: int) -> jnp.ndarray:
+def linear_interpolate(table: jnp.ndarray, out_len: int, effective_len=None) -> jnp.ndarray:
     """1-D linear resize along axis 0, matching torch F.interpolate(align_corners=False).
 
     table: [L_src, D] -> [out_len, D].
+
+    ``effective_len`` (traced scalar) supports padded fixed-shape batches: the
+    resize targets the first effective_len rows (positions beyond it are garbage
+    and must be masked by the caller).  This keeps the reference's
+    exact-length interpolation semantics (tan_model.py:157-160) under jit when
+    variable-length videos are padded to a bucket.
     """
     src_len = table.shape[0]
-    scale = src_len / out_len
+    if effective_len is None:
+        scale = src_len / out_len
+    else:
+        scale = src_len / jnp.asarray(effective_len, jnp.float32)
     # source coordinate of each output sample (half-pixel centers)
     coords = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
     coords = jnp.clip(coords, 0.0, src_len - 1)

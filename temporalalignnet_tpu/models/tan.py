@@ -145,10 +145,16 @@ class TemporalAligner(nn.Module):
             return jnp.zeros((), jnp.int32)
         return jax.random.randint(self.make_rng("pos"), (), 0, limit)
 
-    def _video_pos_embed(self, T: int, interpolate_from: Optional[int], deterministic: bool):
+    def _video_pos_embed(
+        self,
+        T: int,
+        interpolate_from: Optional[int],
+        deterministic: bool,
+        effective_len=None,
+    ):
         table = jnp.asarray(self.temporal_pos_embed, self.dtype)
         if interpolate_from:
-            return linear_interpolate(table[:interpolate_from], T)
+            return linear_interpolate(table[:interpolate_from], T, effective_len)
         start = self._pos_start(T // 2, deterministic)
         return jax.lax.dynamic_slice_in_dim(table, start, T, axis=0)
 
@@ -160,11 +166,12 @@ class TemporalAligner(nn.Module):
         video_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True = pad
         interpolate_from: Optional[int] = None,
         deterministic: bool = True,
+        effective_len=None,
     ) -> jnp.ndarray:
         """Dual-branch video features, all layers: [B, S, T, C] (tan_model.py:152-179)."""
         x = self.ln_video_init(self.video_pre_proj(video_embed))
         B, T, _ = x.shape
-        pos = self._video_pos_embed(T, interpolate_from, deterministic)
+        pos = self._video_pos_embed(T, interpolate_from, deterministic, effective_len)
         x = x + self.ln_position_init(pos)[None]
         if self.cfg.num_encoder_layers == 0:
             return x[:, None]  # [B, 1, T, C] raw-feature fallback (tan_model.py:177-179)
@@ -201,13 +208,14 @@ class TemporalAligner(nn.Module):
         lang_padding_mask: Optional[jnp.ndarray],
         interpolate_from: Optional[int] = None,
         deterministic: bool = True,
+        effective_len=None,
     ):
         """Joint encoder over [video || text]; returns ([B,S,T,C], [B,S,N,C])
         (tan_model.py:182-209)."""
         x = self.ln_video_init(self.video_pre_proj(video_embed))
         B, T, _ = x.shape
         N = lang_embed_with_time.shape[1]
-        pos = self._video_pos_embed(T, interpolate_from, deterministic)
+        pos = self._video_pos_embed(T, interpolate_from, deterministic, effective_len)
         x = x + self.ln_position_init(pos)[None]
 
         joint = jnp.concatenate([x, lang_embed_with_time], axis=1)
@@ -291,6 +299,7 @@ class TemporalAligner(nn.Module):
         video_padding_mask: Optional[jnp.ndarray] = None,
         lang_padding_mask: Optional[jnp.ndarray] = None,
         interpolate_from: Optional[int] = None,
+        effective_len=None,
     ) -> Dict[str, jnp.ndarray]:
         """Fused eval path: joint sim, dual sim, and alignability logits in one pass.
 
@@ -314,7 +323,8 @@ class TemporalAligner(nn.Module):
             lang_with_time = lang_raw
 
         video_out = self.get_visual_feature(
-            video_embed, video_padding_mask, vid_if, deterministic=True
+            video_embed, video_padding_mask, vid_if, deterministic=True,
+            effective_len=effective_len,
         )
         joint_video, joint_text = self.get_joint_feature(
             video_embed,
@@ -323,6 +333,7 @@ class TemporalAligner(nn.Module):
             lang_padding_mask,
             vid_if,
             deterministic=True,
+            effective_len=effective_len,
         )
 
         dual_sim = jnp.einsum(
