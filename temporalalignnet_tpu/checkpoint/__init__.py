@@ -1,0 +1,25 @@
+from temporalalignnet_tpu.checkpoint.orbax_io import (
+    Checkpointer,
+    load_params,
+    save_params,
+)
+from temporalalignnet_tpu.checkpoint.torch_convert import (
+    diff_param_trees,
+    load_reference_checkpoint,
+    params_to_torch,
+    split_twin_state_dict,
+    stage1_to_stage2,
+    torch_to_params,
+)
+
+__all__ = [
+    "Checkpointer",
+    "load_params",
+    "save_params",
+    "diff_param_trees",
+    "load_reference_checkpoint",
+    "params_to_torch",
+    "split_twin_state_dict",
+    "stage1_to_stage2",
+    "torch_to_params",
+]
