@@ -6,6 +6,7 @@ from temporalalignnet_tpu.checkpoint.orbax_io import (
 from temporalalignnet_tpu.checkpoint.torch_convert import (
     diff_param_trees,
     load_reference_checkpoint,
+    neq_merge,
     params_to_torch,
     split_twin_state_dict,
     stage1_to_stage2,
@@ -18,6 +19,7 @@ __all__ = [
     "save_params",
     "diff_param_trees",
     "load_reference_checkpoint",
+    "neq_merge",
     "params_to_torch",
     "split_twin_state_dict",
     "stage1_to_stage2",

@@ -97,7 +97,7 @@ class Checkpointer:
         self._epoch.close()
 
 
-def save_params(path: str, params: Any) -> None:
+def save_params(path: str, params: Any, overwrite: bool = False) -> None:
     """One-shot param-only export (e.g. for the torch converter round-trip).
 
     Blocks until the write is durable — orbax saves are async and returning
@@ -105,7 +105,7 @@ def save_params(path: str, params: Any) -> None:
     """
     ckptr = ocp.StandardCheckpointer()
     try:
-        ckptr.save(os.path.abspath(path), params)
+        ckptr.save(os.path.abspath(path), params, force=overwrite)
         ckptr.wait_until_finished()
     finally:
         ckptr.close()

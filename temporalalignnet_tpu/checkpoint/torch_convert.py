@@ -259,6 +259,33 @@ def stage1_to_stage2(params: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, 
     return params, copy
 
 
+def neq_merge(base: Dict[str, Any], loaded: Dict[str, Any]) -> Tuple[Dict[str, Any], List[str]]:
+    """Non-strict parameter load (reference utils/utils.py:302-312 +
+    train/main.py:458-484): copy leaves present in ``loaded`` onto ``base``,
+    keep base's fresh init where missing (e.g. a new binary_head when
+    pretraining Stage-2 from a Stage-1 checkpoint), report both diffs."""
+    report: List[str] = []
+
+    def walk(b, l, path):
+        if not isinstance(b, dict):
+            return l if l is not None else b
+        out = {}
+        for k, v in b.items():
+            sub = l.get(k) if isinstance(l, dict) else None
+            if sub is None:
+                report.append(f"missing in checkpoint (kept init): {path}{k}")
+                out[k] = v
+            else:
+                out[k] = walk(v, sub, f"{path}{k}/")
+        if isinstance(l, dict):
+            for k in l:
+                if k not in b:
+                    report.append(f"unexpected in checkpoint (dropped): {path}{k}")
+        return out
+
+    return walk(base, loaded, ""), report
+
+
 def diff_param_trees(expected: Dict[str, Any], got: Dict[str, Any]) -> List[str]:
     """Non-strict-load style key diff (reference utils/utils.py:302-312):
     returns human-readable lines for missing / unexpected / shape-mismatched

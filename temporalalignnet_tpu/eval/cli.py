@@ -1,0 +1,106 @@
+"""Zero-shot evaluation CLI — the standalone harnesses of
+eval/eval_zeroshot_align.py:255 and eval/eval_zeroshot_retrieval.py:259.
+
+  python -m temporalalignnet_tpu.eval --task align \\
+      --ckpt model.pth.tar --features <dir> --anno htm_align.json --vocab s3d_dict.npy
+
+  python -m temporalalignnet_tpu.eval --task retrieval \\
+      --ckpt <orbax-params-dir> --features <dir> --anno youcookii_annotations_trainval.json ...
+
+With --ckpt absent it scores raw features with a 0-layer model — the reference's
+MIL-NCE/CLIP baseline mode (eval_zeroshot_align.py:262-276).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("temporalalignnet_tpu zero-shot eval")
+    p.add_argument("--task", required=True, choices=["align", "retrieval"])
+    p.add_argument("--ckpt", default=None, help=".pth.tar or orbax params dir; "
+                   "omit for the raw-feature baseline")
+    p.add_argument("--features", required=True)
+    p.add_argument("--anno", required=True)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--method", default="overlap-seq", choices=["overlap-seq", "global"])
+    p.add_argument("--seq_len", type=int, default=64)
+    p.add_argument("--max_words", type=int, default=32)
+    p.add_argument("--video_embed_dim", type=int, default=1024)
+    p.add_argument("--num_encoder_layers", type=int, default=6)
+    p.add_argument("--num_joint_layers", type=int, default=6)
+    p.add_argument("--use_alignability_head", type=int, default=1)
+    p.add_argument("--num_clips", type=int, default=10)
+    p.add_argument("--batch_windows", type=int, default=32)
+    return p
+
+
+def main(argv: Optional[list] = None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from temporalalignnet_tpu.core.config import EvalConfig, ModelConfig
+    from temporalalignnet_tpu.data import HTMAlignDataset, YC2RetrievalDataset
+    from temporalalignnet_tpu.eval.align import AlignmentEvaluator
+    from temporalalignnet_tpu.eval.retrieval import RetrievalEvaluator
+    from temporalalignnet_tpu.models.net import TANWithText
+    from temporalalignnet_tpu.models.word2vec import Word2VecTokenizer
+
+    tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
+    baseline = args.ckpt is None
+    mcfg = ModelConfig(
+        num_encoder_layers=0 if baseline else args.num_encoder_layers,
+        num_joint_layers=1 if baseline else args.num_joint_layers,
+        video_embed_dim=args.video_embed_dim,
+        use_alignability_head=False if baseline else bool(args.use_alignability_head),
+        random_pos_start=False,
+    )
+    model = TANWithText(
+        mcfg, vocab_size=tokenizer.vocab_size,
+        dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
+    )
+    init_params = model.init(
+        {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, args.video_embed_dim)),
+        jnp.zeros((1, 2, args.max_words), jnp.int32),
+        deterministic=True,
+    )["params"]
+
+    if baseline:
+        params = init_params
+    elif args.ckpt.endswith((".pth.tar", ".pth", ".tar")):
+        from temporalalignnet_tpu.checkpoint import load_reference_checkpoint
+
+        params = load_reference_checkpoint(args.ckpt)["params"]
+    else:
+        from temporalalignnet_tpu.checkpoint import load_params
+
+        params = load_params(
+            args.ckpt, jax.tree_util.tree_map(np.zeros_like, init_params)
+        )
+
+    cfg = EvalConfig(
+        seq_len=args.seq_len,
+        method=args.method,
+        use_alignability_head=mcfg.use_alignability_head,
+        num_clips=args.num_clips,
+        batch_windows=args.batch_windows,
+    )
+    if args.task == "align":
+        ds = HTMAlignDataset(args.features, args.anno, tokenizer, args.max_words)
+        out = AlignmentEvaluator(model, params, cfg).evaluate(list(ds))
+    else:
+        ds = YC2RetrievalDataset(args.features, args.anno, "val", tokenizer, args.max_words)
+        out = RetrievalEvaluator(model, params, cfg).evaluate(list(ds))
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

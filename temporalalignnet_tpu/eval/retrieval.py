@@ -135,7 +135,9 @@ class RetrievalEvaluator:
         out = retrieval_metrics(X @ V.T)
         Vc, Xc = V - V.mean(0, keepdims=True), X - X.mean(0, keepdims=True)
         out.update(retrieval_metrics(Xc @ Vc.T, prefix="C-"))
-        Vs, Xs = Vc / Vc.std(0, keepdims=True), Xc / Xc.std(0, keepdims=True)
+        Vsd = np.where(Vc.std(0, keepdims=True) == 0, 1.0, Vc.std(0, keepdims=True))
+        Xsd = np.where(Xc.std(0, keepdims=True) == 0, 1.0, Xc.std(0, keepdims=True))
+        Vs, Xs = Vc / Vsd, Xc / Xsd
         out.update(retrieval_metrics(Xs @ Vs.T, prefix="S-"))
         return out
 

@@ -1,0 +1,391 @@
+"""Training CLI — the ``train/main.py`` equivalent.
+
+Usage (mirrors reference train/main.py:538-544 / train/config.py:6-53):
+
+  python -m temporalalignnet_tpu.train --model init \\
+      --feature_dir /data/htm_features --captions /data/sentencified_htm_370k.json \\
+      --batch_size 64 --epochs 20
+
+  python -m temporalalignnet_tpu.train --model cotrain --pretrain <ckpt> \\
+      --loss_threshold 0.5 ...
+
+Differences by design:
+- one pjit program per step (fwd+loss+grad+EMA), bf16 compute, no GradScaler;
+- DP x TP mesh instead of (absent) DDP — multi-chip works out of the box;
+- frozen dataclass configs instead of a mutable args namespace threaded into
+  the loss (train/config.py:56-87);
+- checkpoints are orbax TrainStates; --pretrain also accepts a reference
+  .pth.tar through the converter (the Stage-1 -> Stage-2 remap of
+  train/main.py:463-484 becomes stage1_to_stage2()).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("temporalalignnet_tpu trainer")
+    # model (train/config.py:7-20)
+    p.add_argument("--model", default="init", choices=["init", "cotrain"])
+    p.add_argument("--language_model", default="word2vec", choices=["word2vec"])
+    p.add_argument("--num_encoder_layers", type=int, default=6)
+    p.add_argument("--num_joint_layers", type=int, default=6)
+    p.add_argument("--sim", default="cos", choices=["cos", "dot"])
+    p.add_argument("--pos_enc", default="learned", choices=["learned", "sine"])
+    p.add_argument("--use_text_pos_enc", type=int, default=0)
+    p.add_argument("--use_alignability_head", type=int, default=0)
+    p.add_argument("--video_embed_dim", type=int, default=1024)
+    # loss (train/config.py:21-30)
+    p.add_argument("--loss_threshold", type=float, default=0.0)
+    p.add_argument("--learn_agreement", type=int, default=0)
+    p.add_argument("--temporal_agreement_type", default="keep",
+                   choices=["i", "u", "keep", "keep-joint"])
+    p.add_argument("--optim_policy", default="default", choices=["default", "bce"])
+    p.add_argument("--momentum_m", type=float, default=0.999)
+    # data (train/config.py:11-16)
+    p.add_argument("--feature_dir", required=True)
+    p.add_argument("--captions", required=True)
+    p.add_argument("--holdout", default=None)
+    p.add_argument("--seq_len", type=int, default=64)
+    p.add_argument("--max_sentences", type=int, default=16)
+    p.add_argument("--max_words", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--vocab", default=None, help="word list .npy (s3d_dict format)")
+    # optim (train/config.py:31-40)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--warmup_iterations", type=int, default=1000)
+    p.add_argument("--backprop_freq", type=int, default=1)
+    p.add_argument("--clip_grad_norm", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    # infra
+    p.add_argument("--prefix", default="exp", help="experiment dir root")
+    p.add_argument("--name_prefix", default="")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--pretrain", default=None)
+    p.add_argument("--test", default=None, help="ckpt: run downstream eval only")
+    p.add_argument("--runtime_save_iter", type=int, default=1000)
+    p.add_argument("--eval_every_epochs", type=int, default=1)
+    p.add_argument("--log_every", type=int, default=5)
+    p.add_argument("--dp", type=int, default=-1, help="data-parallel mesh size")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
+    p.add_argument("--align_anno", default=None, help="htm_align.json for downstream eval")
+    p.add_argument("--align_features", default=None)
+    p.add_argument("--yc2_anno", default=None)
+    p.add_argument("--yc2_features", default=None)
+    p.add_argument("--profile_dir", default=None)
+    p.add_argument("--max_steps", type=int, default=0, help="debug: stop after N steps")
+    return p
+
+
+def experiment_name(args) -> str:
+    """Hyperparams-in-dirname convention (reference train/config.py:69-74)."""
+    return (
+        f"{args.name_prefix}{args.model}_{args.language_model}"
+        f"_len{args.seq_len}_e{args.num_encoder_layers}d{args.num_joint_layers}"
+        f"_bs{args.batch_size}_lr{args.lr}"
+    )
+
+
+def main(argv: Optional[list] = None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from temporalalignnet_tpu.checkpoint import (
+        Checkpointer,
+        load_reference_checkpoint,
+        stage1_to_stage2,
+    )
+    from temporalalignnet_tpu.core.config import (
+        DataConfig,
+        EvalConfig,
+        LossConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from temporalalignnet_tpu.data import (
+        HTMAlignDataset,
+        HTMFeatureDataset,
+        TrainLoader,
+        YC2RetrievalDataset,
+        make_device_put,
+    )
+    from temporalalignnet_tpu.eval.align import AlignmentEvaluator
+    from temporalalignnet_tpu.eval.retrieval import RetrievalEvaluator
+    from temporalalignnet_tpu.models.net import TANWithText
+    from temporalalignnet_tpu.models.word2vec import Word2VecTokenizer
+    from temporalalignnet_tpu.parallel.mesh import make_mesh
+    from temporalalignnet_tpu.train.train_step import (
+        TrainState,
+        create_train_state,
+        make_train_step,
+        shard_batch,
+    )
+    from temporalalignnet_tpu.utils import (
+        AverageMeter,
+        MetricsWriter,
+        ProgressMeter,
+        StepTimer,
+        device_memory_stats,
+        trace,
+    )
+
+    # ---- configs (cotrain preset forces agreement + head, train/main.py:361-363)
+    if args.model == "cotrain":
+        args.learn_agreement = 1
+        args.use_alignability_head = 1
+
+    mcfg = ModelConfig(
+        num_encoder_layers=args.num_encoder_layers,
+        num_joint_layers=args.num_joint_layers,
+        video_embed_dim=args.video_embed_dim,
+        language_model=args.language_model,
+        sim=args.sim,
+        pos_enc=args.pos_enc,
+        use_text_pos_enc=bool(args.use_text_pos_enc),
+        use_alignability_head=bool(args.use_alignability_head),
+    )
+    loss_cfg = LossConfig(
+        model=args.model,
+        sim=args.sim,
+        learn_agreement=bool(args.learn_agreement),
+        temporal_agreement_type=args.temporal_agreement_type,
+        loss_threshold=args.loss_threshold,
+        use_alignability_head=bool(args.use_alignability_head),
+        optim_policy=args.optim_policy,
+    )
+    dcfg = DataConfig(
+        seq_len=args.seq_len,
+        max_sentences=args.max_sentences,
+        max_words=args.max_words,
+        batch_size=args.batch_size,
+        feature_dim=args.video_embed_dim,
+    )
+
+    # ---- data
+    if args.vocab:
+        tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
+    else:
+        raise SystemExit("--vocab is required (s3d_dict.npy word list)")
+    dataset = HTMFeatureDataset(
+        args.feature_dir, args.captions, dcfg, "train", tokenizer, holdout=args.holdout
+    )
+    if len(dataset) == 0:
+        raise SystemExit("no training videos after filtering")
+    steps_per_epoch = max(len(dataset) // args.batch_size, 1)
+    tcfg = TrainConfig(
+        lr=args.lr,
+        wd=args.wd,
+        epochs=args.epochs,
+        warmup_iterations=args.warmup_iterations,
+        total_iterations=steps_per_epoch * args.epochs,
+        backprop_freq=args.backprop_freq,
+        clip_grad_norm=args.clip_grad_norm,
+        ema_momentum=args.momentum_m,
+        seed=args.seed,
+        runtime_save_iter=args.runtime_save_iter,
+        dp_size=args.dp,
+        tp_size=args.tp,
+    )
+
+    # ---- experiment dir + config dump (train/config.py:56-87)
+    exp_dir = os.path.join(args.prefix, experiment_name(args))
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "running_command.txt"), "a") as f:
+        f.write(json.dumps(vars(args)) + "\n")
+
+    mesh = make_mesh(args.dp, args.tp) if jax.device_count() > 1 else None
+    model = TANWithText(
+        mcfg, vocab_size=tokenizer.vocab_size, dtype=jnp.bfloat16
+        if jax.default_backend() == "tpu" else jnp.float32,
+    )
+
+    # ---- downstream evaluators (train/main.py:165-212); cached so their jitted
+    # programs compile once and are reused across the per-1000-iter eval calls
+    _eval_cache: dict = {}
+
+    def evaluate_downstream(params, step: int, writer=None) -> dict:
+        metrics = {}
+        if args.align_anno:
+            if "align" not in _eval_cache:
+                ds = HTMAlignDataset(
+                    args.align_features or args.feature_dir,
+                    args.align_anno,
+                    tokenizer,
+                    max_words=args.max_words,
+                )
+                ev = AlignmentEvaluator(
+                    model, params,
+                    EvalConfig(seq_len=args.seq_len,
+                               use_alignability_head=mcfg.use_alignability_head),
+                )
+                _eval_cache["align"] = (ev, list(ds))
+            ev, corpus = _eval_cache["align"]
+            ev.params = params
+            metrics.update(ev.evaluate(corpus))
+        if args.yc2_anno and args.optim_policy != "bce":  # bce skips YC2 (main.py:196-197)
+            if "yc2" not in _eval_cache:
+                ds = YC2RetrievalDataset(
+                    args.yc2_features or args.feature_dir,
+                    args.yc2_anno,
+                    "val",
+                    tokenizer,
+                    max_words=args.max_words,
+                )
+                ev = RetrievalEvaluator(model, params, EvalConfig(seq_len=args.seq_len))
+                _eval_cache["yc2"] = (ev, list(ds))
+            ev, items = _eval_cache["yc2"]
+            ev.params = params
+            metrics.update(ev.evaluate(items))
+        if metrics:
+            print(f"[eval @ step {step}] " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+            if writer is not None:
+                writer.add_scalars(step, metrics, prefix="eval/")
+        return metrics
+
+    # ---- init / resume / pretrain / test
+    rng = np.random.RandomState(args.seed)
+    loader = TrainLoader(
+        dataset,
+        args.batch_size,
+        seed=args.seed,
+        num_workers=args.num_workers,
+        device_put=make_device_put(mesh) if mesh else None,
+    )
+    sample = dataset.sample(0, rng)
+    sample_batch = {
+        k: jnp.asarray(np.broadcast_to(v, (args.batch_size,) + np.asarray(v).shape))
+        for k, v in sample.items()
+        if k not in ("cut_start", "cut_end")
+    }
+    state, tx = create_train_state(model, tcfg, loss_cfg, sample_batch,
+                                   seed=args.seed, mesh=mesh)
+
+    if args.test:
+        params = _load_any_params(args.test, state)
+        metrics = evaluate_downstream(params, step=0)
+        print(json.dumps(metrics))
+        return metrics
+
+    if args.pretrain:
+        from temporalalignnet_tpu.checkpoint import neq_merge
+
+        loaded = _load_any_params(args.pretrain, state)
+        # non-strict: a Stage-1 ckpt lacks binary_head etc. — keep fresh init
+        merged, report = neq_merge(jax.device_get(state.params), loaded)
+        for line in report:
+            print(f"[pretrain] {line}")
+        online, target = stage1_to_stage2(merged)
+        state = dataclasses.replace(
+            state,
+            params=jax.tree_util.tree_map(jnp.asarray, online),
+            ema_params=(
+                jax.tree_util.tree_map(jnp.asarray, target)
+                if loss_cfg.model == "cotrain"
+                else state.ema_params
+            ),
+        )
+
+    ckpt = Checkpointer(exp_dir, best_metric="Recall")
+    if args.resume:
+        state = ckpt.restore(state)
+        print(f"resumed at step {int(state.step)}")
+
+    step_fn = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
+    writer = MetricsWriter(exp_dir)
+    timer = StepTimer()
+
+    loss_meter = AverageMeter("loss", ":.4f")
+    data_meter = AverageMeter("data", ":.3f")
+    final_metrics = {}
+    global_step = int(state.step)
+    stop = False
+
+    with trace(args.profile_dir):
+        for epoch in range(args.epochs):
+            if stop:
+                break
+            loader.set_epoch(epoch)
+            progress = ProgressMeter(len(loader), [loss_meter, data_meter],
+                                     prefix=f"Epoch {epoch} ")
+            t_data = time.perf_counter()
+            for it, batch in enumerate(loader):
+                data_meter.update(time.perf_counter() - t_data)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k not in ("cut_start", "cut_end")}
+                state, metrics = step_fn(state, batch)
+                global_step += 1
+                loss = float(metrics["loss"])
+                if np.isfinite(loss):  # NaN excluded from meters (main.py:108-109)
+                    loss_meter.update(loss)
+                sps = timer.tick()
+                if global_step % args.log_every == 0:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars["device/sps"] = sps
+                    scalars.update(
+                        {f"device/{k}": v for k, v in device_memory_stats().items()}
+                    )
+                    writer.add_scalars(global_step, scalars, prefix="train/")
+                    progress.display(it)
+                if args.runtime_save_iter and global_step % args.runtime_save_iter == 0:
+                    ckpt.save_runtime(jax.device_get(state), global_step)
+                    evaluate_downstream(state.params, global_step, writer)
+                if args.max_steps and global_step >= args.max_steps:
+                    stop = True
+                    break
+                t_data = time.perf_counter()
+            final_metrics = evaluate_downstream(state.params, global_step, writer) \
+                if (epoch + 1) % args.eval_every_epochs == 0 else final_metrics
+            ckpt.save_epoch(jax.device_get(state), epoch, final_metrics)
+            # bare-params export: the portable artifact --pretrain consumes
+            from temporalalignnet_tpu.checkpoint import save_params
+
+            save_params(
+                os.path.join(exp_dir, "params_latest"),
+                jax.device_get(state.params),
+                overwrite=True,
+            )
+
+    ckpt.wait()
+    ckpt.close()
+    writer.close()
+    print(json.dumps({"final_step": global_step, **final_metrics}))
+    return final_metrics
+
+
+def _load_any_params(path: str, state):
+    """Accept a reference .pth.tar (converter), an experiment dir written by this
+    trainer (TrainState restore -> params), or a bare orbax params dir."""
+    import os
+
+    import jax
+    import numpy as np
+
+    if path.endswith((".pth.tar", ".pth", ".tar")):
+        from temporalalignnet_tpu.checkpoint import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)["params"]
+    if os.path.isdir(os.path.join(path, "params_latest")):
+        path = os.path.join(path, "params_latest")  # experiment dir -> its export
+    from temporalalignnet_tpu.checkpoint import load_params
+
+    # raw (structure-from-disk) restore so the caller can neq_merge across
+    # architecture deltas (e.g. Stage-1 ckpt without binary_head)
+    return load_params(path)
+
+
+if __name__ == "__main__":
+    main()

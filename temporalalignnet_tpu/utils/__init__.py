@@ -1,0 +1,12 @@
+from temporalalignnet_tpu.utils.logging import MetricsWriter, device_memory_stats
+from temporalalignnet_tpu.utils.meters import AverageMeter, ProgressMeter
+from temporalalignnet_tpu.utils.profiling import StepTimer, trace
+
+__all__ = [
+    "MetricsWriter",
+    "device_memory_stats",
+    "AverageMeter",
+    "ProgressMeter",
+    "StepTimer",
+    "trace",
+]
