@@ -8,9 +8,12 @@ masks them out downstream — identical to the reference.
 Two paths:
 - ``_attention_xla``: plain jnp; XLA fuses this well at the reference's tiny
   shapes (T=64 dual, T+N<=96 joint).
-- ``_attention_pallas``: fused Pallas TPU kernel (one grid step per [B*H] slice,
-  whole-row softmax in VMEM) used on TPU for the hot eval/train path.  See
-  temporalalignnet_tpu/ops/pallas_attention.py.
+- ``fused_attention``: Pallas TPU kernel (grouped windows x heads per grid step,
+  scores+softmax+PV in VMEM).  Bit-exact vs the XLA path on TPU hardware, but
+  measured ~8% SLOWER end-to-end at TAN shapes (S<=96, D=64): XLA's own fusion
+  already keeps the probability tensor on-chip here.  Kept as an opt-in
+  (use_pallas=True) for larger variants where the [B,H,S,S] intermediate stops
+  fitting XLA's fusion budget.  See temporalalignnet_tpu/ops/pallas_attention.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,117 @@
+"""Fused multi-head attention Pallas TPU kernel.
+
+The TAN hot path runs attention at tiny sequence lengths (T=64 dual, T+N<=96
+joint; reference model/tfm_model.py:30-32) over large window batches (the
+overlap-seq eval flattens a whole video into a [num_windows, T] batch).  XLA's
+generic lowering materializes the [B, H, S, S] probability tensor in HBM between
+the two matmuls; this kernel keeps scores+softmax+PV for one batch row entirely
+in VMEM — one grid step per window, all heads unrolled (H is a static 8).
+
+Semantics == torch nn.MultiheadAttention with key_padding_mask (True = pad):
+padded keys are excluded from every query's softmax; fully-padded query rows
+produce finite garbage the caller masks downstream (same as the reference).
+
+On non-TPU backends the kernel runs in interpreter mode so the CPU test suite
+validates the exact kernel code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30  # finite fp32 mask bias; exact -inf breaks fully-masked rows
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    """One grid step = one batch row.  Blocks:
+    q/k/v [1, H, S, D], bias [1, S] (0 valid / NEG_INF pad), out [1, H, S, D].
+    """
+    G, H, S, D = q_ref.shape
+    scale = jax.lax.rsqrt(jnp.asarray(D, jnp.float32))
+    bias = bias_ref[:, 0, :]  # [G, S]
+
+    # fold windows x heads into one batched dot_general: G*H small [S, D]
+    # tiles stream through the MXU in a single dispatch
+    q = q_ref[...].reshape(G * H, S, D)
+    k = k_ref[...].reshape(G * H, S, D)
+    v = v_ref[...].reshape(G * H, S, D)
+    scores = (
+        jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    ).reshape(G, H, S, S) + bias[:, None, None, :]
+    scores = scores.reshape(G * H, S, S)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    out_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype).reshape(G, H, S, D)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "group"))
+def _fused_attention_call(q, k, v, bias, interpret: bool, group: int):
+    B, H, S, D = q.shape
+    G = group
+    blk = lambda: pl.BlockSpec(
+        (G, H, S, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _mha_kernel,
+        grid=(B // G,),
+        in_specs=[
+            blk(),
+            blk(),
+            blk(),
+            # bias rides as [B, 1, S]: TPU lowering needs the last two block
+            # dims divisible by (8, 128) or equal to the array dims
+            pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * S * D,
+            bytes_accessed=(4 * B * H * S * D + B * S) * q.dtype.itemsize,
+            transcendentals=B * H * S * S,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def fused_attention(
+    q: jnp.ndarray,  # [B, H, S, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = pad
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.attention._attention_xla."""
+    B, H, S, D = q.shape
+    if key_padding_mask is None:
+        bias = jnp.zeros((B, 1, S), jnp.float32)
+    else:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)[:, None, :]
+    interpret = jax.default_backend() != "tpu"
+    # windows-per-step: biggest group that divides B AND fits VMEM (~16 MB).
+    # Per window: double-buffered qkv blocks + out block + fp32 scores/probs.
+    it = q.dtype.itemsize
+    per_window = H * S * D * it * 8 + H * S * S * 4 * 3
+    budget = 8 * 1024 * 1024  # measured: G=8 f32 blocks hit the 16 MB cap
+    group = 1
+    for g in (8, 4, 2):
+        if B % g == 0 and g * per_window <= budget:
+            group = g
+            break
+    return _fused_attention_call(q, k, v, bias, interpret, group)
