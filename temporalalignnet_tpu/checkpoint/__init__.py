@@ -3,6 +3,10 @@ from temporalalignnet_tpu.checkpoint.orbax_io import (
     load_params,
     save_params,
 )
+from temporalalignnet_tpu.checkpoint.s3d_convert import (
+    load_milnce_checkpoint,
+    s3d_torch_to_variables,
+)
 from temporalalignnet_tpu.checkpoint.torch_convert import (
     diff_param_trees,
     load_reference_checkpoint,
@@ -20,6 +24,8 @@ __all__ = [
     "diff_param_trees",
     "load_reference_checkpoint",
     "neq_merge",
+    "load_milnce_checkpoint",
+    "s3d_torch_to_variables",
     "params_to_torch",
     "split_twin_state_dict",
     "stage1_to_stage2",
