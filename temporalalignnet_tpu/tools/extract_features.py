@@ -1,0 +1,123 @@
+"""Visual feature extraction (reference htm_zoo/visual/extract_feature_template.py).
+
+Decodes whole videos at a model-specific fps and batches frames through a
+jitted encoder, writing one {vid}.npy per video — resumable via existing-output
+and bad-video drop lists (:329-379).
+
+TPU-first deltas: the encoder is a jitted JAX callable (e.g. the Flax S3D
+backbone at 16 frames/feature, or any CLIP-style image tower); frames stream
+through a fixed [batch, ...] shape so one compiled program serves every video.
+
+This image has no ffmpeg binary and no network egress for pretrained towers;
+the decode step is injectable (``decoder``) exactly like data/clips.py.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def ffmpeg_decode_video(path: str, fps: int, size: int) -> np.ndarray:
+    """Whole-video decode -> [N, size, size, 3] float32 in [0, 1]
+    (extract_feature_template.py:128-232)."""
+    cmd = [
+        "ffmpeg", "-i", path, "-vf",
+        f"fps={fps},scale={size}:{size}",
+        "-f", "rawvideo", "-pix_fmt", "rgb24", "-v", "error", "pipe:1",
+    ]
+    out = subprocess.run(cmd, capture_output=True, timeout=600).stdout
+    n_px = size * size * 3
+    n = len(out) // n_px
+    if n == 0:
+        raise RuntimeError(f"no frames decoded from {path}")
+    return (
+        np.frombuffer(out[: n * n_px], np.uint8)
+        .reshape(n, size, size, 3)
+        .astype(np.float32)
+        / 255.0
+    )
+
+
+class FeatureExtractor:
+    """encode_clip: [B, T, H, W, 3] -> [B, C]; one feature per second."""
+
+    def __init__(
+        self,
+        encode_clip: Callable[[np.ndarray], np.ndarray],
+        fps: int = 16,
+        frames_per_feature: int = 16,
+        size: int = 224,
+        batch_size: int = 8,
+        decoder: Optional[Callable[[str, int, int], np.ndarray]] = None,
+    ):
+        self.encode_clip = encode_clip
+        self.fps = fps
+        self.frames_per_feature = frames_per_feature
+        self.size = size
+        self.batch_size = batch_size
+        self.decoder = decoder or ffmpeg_decode_video
+
+    def extract_video(self, path: str) -> np.ndarray:
+        frames = self.decoder(path, self.fps, self.size)
+        T = self.frames_per_feature
+        n_feat = len(frames) // T
+        if n_feat == 0:  # pad a too-short video to one clip
+            pad = np.repeat(frames[-1:], T - len(frames), axis=0)
+            frames = np.concatenate([frames, pad], 0)
+            n_feat = 1
+        clips = frames[: n_feat * T].reshape(n_feat, T, self.size, self.size, 3)
+        feats = []
+        B = self.batch_size
+        for i in range(0, n_feat, B):
+            chunk = clips[i : i + B]
+            if len(chunk) < B:  # fixed shape for the jitted encoder
+                pad = np.repeat(chunk[-1:], B - len(chunk), axis=0)
+                batch = np.concatenate([chunk, pad], 0)
+                feats.append(np.asarray(self.encode_clip(batch))[: len(chunk)])
+            else:
+                feats.append(np.asarray(self.encode_clip(chunk)))
+        return np.concatenate(feats, 0)
+
+    def run(
+        self,
+        videos: Dict[str, str],  # vid -> path
+        out_dir: str,
+        bad_vids: Sequence[str] = (),
+    ) -> List[str]:
+        """Resumable batch extraction: skips existing outputs and drop-listed
+        videos (extract_feature_template.py:329-379)."""
+        os.makedirs(out_dir, exist_ok=True)
+        done = []
+        bad = set(bad_vids)
+        for vid, path in sorted(videos.items()):
+            out_path = os.path.join(out_dir, f"{vid}.npy")
+            if vid in bad or os.path.exists(out_path):
+                continue
+            try:
+                feats = self.extract_video(path)
+            except Exception as e:
+                print(f"[extract] {vid} failed: {e}")
+                continue
+            np.save(out_path, feats.astype(np.float16))
+            done.append(out_path)
+        return done
+
+
+def make_s3d_encoder(variables, dtype=None) -> Callable[[np.ndarray], np.ndarray]:
+    """Jitted Flax-S3D clip encoder producing 1024-d mixed_5c features."""
+    import jax
+    import jax.numpy as jnp
+
+    from temporalalignnet_tpu.models.s3d import S3D
+
+    model = S3D(use_running_average=True, dtype=dtype or jnp.float32)
+
+    @jax.jit
+    def encode(clips):
+        return model.apply(variables, clips, return_embedding=True)
+
+    return lambda x: encode(jnp.asarray(x))
