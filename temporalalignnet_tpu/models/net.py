@@ -9,7 +9,7 @@ the same jit program as the aligner — one fused TPU step, no re-padding.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -19,12 +19,51 @@ from temporalalignnet_tpu.models.tan import TemporalAligner
 from temporalalignnet_tpu.models.word2vec import Word2VecEncoder
 
 
+class BertEncoder(nn.Module):
+    """HF Flax BERT bridge for language_model='bert' (tan_model.py:37-38).
+
+    Wraps transformers' FlaxBertModule as a submodule so the whole TAN trains
+    as one pjit program.  Pass ``hf_config`` (a transformers BertConfig) —
+    defaults to bert-base-uncased dimensions; load pretrained weights by
+    grafting a converted HF param tree under ``lang_model`` (use
+    transformers.FlaxBertModel.from_pretrained on a LOCAL directory, then
+    ``params['lang_model'] = flax_bert.params`` — no egress in this image).
+    Returns the HF-style {last_hidden_state, pooler_output} dict.
+    """
+
+    hf_config: Any = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        from transformers import BertConfig
+        from transformers.models.bert.modeling_flax_bert import FlaxBertModule
+
+        cfg = self.hf_config or BertConfig()
+        self.bert = FlaxBertModule(config=cfg, dtype=self.dtype)
+
+    def __call__(self, input_ids, attention_mask=None):
+        out = self.bert(
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            token_type_ids=jnp.zeros_like(input_ids),
+            position_ids=jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1]), input_ids.shape
+            ),
+            head_mask=None,
+        )
+        return {
+            "last_hidden_state": out.last_hidden_state,
+            "pooler_output": out.pooler_output,
+        }
+
+
 class TANWithText(nn.Module):
     cfg: ModelConfig
     vocab_size: int = 66251
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    bert_config: Any = None  # transformers BertConfig for language_model='bert'
 
     def setup(self):
         if self.cfg.language_model == "word2vec":
@@ -35,10 +74,13 @@ class TANWithText(nn.Module):
                 param_dtype=self.param_dtype,
                 name="lang_model",
             )
+        elif self.cfg.language_model == "bert":
+            self.lang_model = BertEncoder(
+                hf_config=self.bert_config, dtype=self.dtype, name="lang_model"
+            )
         else:
             raise NotImplementedError(
-                f"language_model={self.cfg.language_model!r}; 'bert' lands with the "
-                "HF-Flax bridge (reference tan_model.py:37-38)"
+                f"language_model={self.cfg.language_model!r}"
             )
         self.aligner = TemporalAligner(
             self.cfg,

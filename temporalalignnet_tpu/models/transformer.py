@@ -141,6 +141,96 @@ class ResidualAttentionBlock(nn.Module):
         return self.ln_1(x)
 
 
+class ResidualDecoderBlock(nn.Module):
+    """Self-attn -> cross-attn on memory -> MLP (reference tfm_model.py:59-87).
+
+    Defined-but-unused in the reference forward (the 'D' in E6D6 is actually
+    the joint encoder, SURVEY §2.1) — kept for API completeness and for
+    variants that do want true cross-attention decoding.
+    """
+
+    width: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  use_pallas=self.use_pallas)
+        self.self_attn = MultiheadSelfAttention(self.width, self.heads, **kw)
+        self.attn = MultiheadCrossAttention(self.width, self.heads, **kw)
+        ln = lambda: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+        self.ln_1 = ln()
+        self.ln_2 = ln()
+        self.ln_3 = ln()
+        self.mlp = MLP(self.width, self.mlp_ratio, dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+
+    def __call__(self, x, memory, tgt_key_padding_mask=None,
+                 memory_key_padding_mask=None):
+        x_norm = self.ln_1(x)
+        x = x + self.self_attn(x_norm, tgt_key_padding_mask)
+        x = x + self.attn(self.ln_2(x), memory, memory_key_padding_mask)
+        x = x + self.mlp(self.ln_3(x))
+        return x, x_norm
+
+
+class MultiheadCrossAttention(nn.Module):
+    """Query from x, key/value from memory (torch MHA q!=kv form)."""
+
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, memory, memory_key_padding_mask=None):
+        B, S, D = x.shape
+        M = memory.shape[1]
+        dh = self.width // self.heads
+        dense = lambda name: nn.Dense(
+            self.width, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        q = dense("q_proj")(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
+        k = dense("k_proj")(memory).reshape(B, M, self.heads, dh).transpose(0, 2, 1, 3)
+        v = dense("v_proj")(memory).reshape(B, M, self.heads, dh).transpose(0, 2, 1, 3)
+        from temporalalignnet_tpu.ops.attention import _attention_xla
+
+        out = _attention_xla(q, k, v, memory_key_padding_mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return dense("out_proj")(out)
+
+
+class TemporalDecoder(nn.Module):
+    """Stack of decoder blocks with per-layer taps (tfm_model.py:89-103)."""
+
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_key_padding_mask=None,
+                 memory_key_padding_mask=None) -> List[jnp.ndarray]:
+        intermediate = []
+        for i in range(self.layers):
+            x, x_norm = ResidualDecoderBlock(
+                self.width, self.heads, self.mlp_ratio,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"resblocks_{i}",
+            )(x, memory, tgt_key_padding_mask, memory_key_padding_mask)
+            intermediate.append(x_norm)
+        intermediate.pop(0)
+        intermediate.append(x)
+        return intermediate
+
+
 class TemporalEncoder(nn.Module):
     """Stack of blocks; returns the per-layer intermediate list.
 

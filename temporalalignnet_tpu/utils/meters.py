@@ -45,6 +45,44 @@ class AverageMeter:
         return fmtstr.format(name=self.name, val=self.val, avg=self.avg)
 
 
+def calc_topk_accuracy(scores, targets, topk=(1,)):
+    """Fraction of rows whose target is within the top-k scores
+    (reference utils/utils.py:89-114).  numpy, [B, C] scores + [B] targets."""
+    import numpy as np
+
+    scores = np.asarray(scores)
+    targets = np.asarray(targets)
+    order = np.argsort(-scores, axis=1)
+    out = []
+    for k in topk:
+        hit = (order[:, :k] == targets[:, None]).any(axis=1)
+        out.append(float(hit.mean()))
+    return out
+
+
+class ConfusionMeter:
+    """Row = ground truth, column = prediction (utils/utils.py:234-285)."""
+
+    def __init__(self, num_classes: int):
+        import numpy as np
+
+        self.num_classes = num_classes
+        self.mat = np.zeros((num_classes, num_classes), np.int64)
+
+    def update(self, preds, targets):
+        import numpy as np
+
+        for p, t in zip(np.asarray(preds).reshape(-1), np.asarray(targets).reshape(-1)):
+            self.mat[int(t), int(p)] += 1
+
+    def accuracy(self) -> float:
+        total = self.mat.sum()
+        return float(self.mat.trace() / total) if total else 0.0
+
+    def __str__(self):
+        return f"ConfusionMeter(acc={self.accuracy():.4f})\n{self.mat}"
+
+
 class ProgressMeter:
     """Batched status line printer (utils.py:217-231)."""
 

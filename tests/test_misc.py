@@ -1,0 +1,123 @@
+"""Misc coverage: TemporalDecoder, BERT bridge, meters, vis helpers, whisper logic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestTemporalDecoder:
+    def test_decoder_stack_runs_with_taps(self, rng):
+        from temporalalignnet_tpu.models.transformer import TemporalDecoder
+
+        dec = TemporalDecoder(width=32, layers=3, heads=4)
+        x = jnp.asarray(rng.randn(2, 6, 32), jnp.float32)
+        mem = jnp.asarray(rng.randn(2, 10, 32), jnp.float32)
+        mem_pad = jnp.zeros((2, 10), bool).at[:, -3:].set(True)
+        params = dec.init(jax.random.PRNGKey(0), x, mem)["params"]
+        taps = dec.apply({"params": params}, x, mem,
+                         memory_key_padding_mask=mem_pad)
+        assert len(taps) == 3
+        assert all(t.shape == (2, 6, 32) for t in taps)
+        # padded memory must not influence the output
+        mem2 = mem.at[:, -3:].set(999.0)
+        taps2 = dec.apply({"params": params}, x, mem2,
+                          memory_key_padding_mask=mem_pad)
+        np.testing.assert_allclose(
+            np.asarray(taps[-1]), np.asarray(taps2[-1]), atol=1e-5
+        )
+
+
+class TestBertBridge:
+    def test_tan_with_bert_forward(self, rng):
+        from transformers import BertConfig
+
+        from temporalalignnet_tpu.core.config import ModelConfig
+        from temporalalignnet_tpu.models.net import TANWithText
+
+        tiny = BertConfig(
+            vocab_size=100, hidden_size=768, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=32,
+        )
+        cfg = ModelConfig(
+            width=64, heads=4, num_encoder_layers=1, num_joint_layers=1,
+            video_embed_dim=32, num_pos_embeds=64, language_model="bert",
+        )
+        assert cfg.text_embed_dim == 768
+        model = TANWithText(cfg, bert_config=tiny)
+        video = jnp.asarray(rng.randn(2, 8, 32), jnp.float32)
+        ids = jnp.asarray(rng.randint(1, 100, (2, 3, 6)), jnp.int32)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+            video, ids, deterministic=True,
+        )["params"]
+        out = model.apply({"params": params}, video, ids, deterministic=True)
+        assert out["logits_dual"].shape == (2, 1, 8, 2, 3)
+        assert np.isfinite(np.asarray(out["logits_joint"])).all()
+
+
+class TestMeters:
+    def test_topk_accuracy(self):
+        from temporalalignnet_tpu.utils.meters import calc_topk_accuracy
+
+        scores = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
+        targets = np.array([1, 0, 0])
+        top1, top2 = calc_topk_accuracy(scores, targets, (1, 2))
+        assert top1 == pytest.approx(2 / 3)
+        assert top2 == pytest.approx(2 / 3)
+
+    def test_confusion_meter(self):
+        from temporalalignnet_tpu.utils.meters import ConfusionMeter
+
+        cm = ConfusionMeter(3)
+        cm.update([0, 1, 2, 2], [0, 1, 1, 2])
+        assert cm.mat[1, 2] == 1 and cm.mat.trace() == 3
+        assert cm.accuracy() == pytest.approx(0.75)
+
+
+class TestVis:
+    def test_second_to_time_and_link(self):
+        from temporalalignnet_tpu.utils.vis import get_youtube_link, second_to_time
+
+        assert second_to_time(3725) == "01:02:05"
+        assert get_youtube_link("abc", 65).endswith("watch?v=abc&t=65")
+
+    def test_heatmap_dump(self, tmp_path, rng):
+        from temporalalignnet_tpu.utils.vis import save_similarity_heatmap
+
+        out = save_similarity_heatmap(
+            rng.rand(4, 50).astype(np.float32),
+            str(tmp_path / "h.png"),
+            gt_spans=[(5, 10), (12, 20), (25, 30), (35, 45)],
+            texts=["a", "b", "c", "d"],
+        )
+        if out is not None:  # matplotlib present
+            import os
+
+            assert os.path.getsize(out) > 0
+
+
+class TestWhisperLogic:
+    def test_chunking(self):
+        from temporalalignnet_tpu.tools.whisper_asr import chunk_for_translation
+
+        chunks = chunk_for_translation([f"s{i}" for i in range(10)], batch_size=4)
+        assert sum(len(c) for c in chunks) == 10
+        assert max(len(c) for c in chunks) <= 4
+        assert chunk_for_translation([], 4) == []
+
+    def test_drop_list_resume(self, tmp_path):
+        from temporalalignnet_tpu.tools.whisper_asr import remaining_after_drop_list
+
+        (tmp_path / "a.json").write_text("{}")
+        todo = remaining_after_drop_list(
+            ["/x/a.wav", "/x/b.wav"], str(tmp_path)
+        )
+        assert todo == ["/x/b.wav"]
+
+    def test_gated_import_error(self):
+        from temporalalignnet_tpu.tools.whisper_asr import _require_whisperx
+
+        with pytest.raises(ImportError, match="whisperx is required"):
+            _require_whisperx()
