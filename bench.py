@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-B = 128  # windows per jit call
+B = 256  # windows per jit call (measured best on v5e: 12.3k w/s vs 11.5k at 128)
 T = 64
 CV = 1024
 N = 8  # sentences per window
