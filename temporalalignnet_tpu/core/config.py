@@ -120,7 +120,11 @@ class TrainConfig:
     warmup_iterations: int = 1000
     total_iterations: int = 100_000
     backprop_freq: int = 1  # gradient accumulation
-    clip_grad_norm: float = 0.0  # 0 = off; reference uses DINO-style per-param clip
+    clip_grad_norm: float = 0.0  # 0 = off
+    clip_mode: str = "per_param"  # 'per_param' (DINO-style, reference
+    # utils/train_utils.py:3-13) or 'global'
+    skip_nonfinite_updates: bool = False  # improvement over the reference,
+    # which backprops NaN losses (train/main.py:108-109, SURVEY §5)
     ema_momentum: float = 0.999  # tan_model.py:317
     use_cosine_schedule: bool = True
     seed: int = 0

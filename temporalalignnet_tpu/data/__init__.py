@@ -4,7 +4,8 @@ from temporalalignnet_tpu.data.htm import (
     load_vlen_table,
     stack_samples,
 )
-from temporalalignnet_tpu.data.htm_align import HTMAlignDataset
+from temporalalignnet_tpu.data.clips import HTMClipDataset
+from temporalalignnet_tpu.data.htm_align import HTMAlignDataset, HTMAlignTrainDataset
 from temporalalignnet_tpu.data.padding import pad_tokens, pad_video_by_last
 from temporalalignnet_tpu.data.prefetch import TrainLoader, make_device_put
 from temporalalignnet_tpu.data.synthetic import synthetic_batch, synthetic_video_corpus
@@ -13,6 +14,8 @@ from temporalalignnet_tpu.data.yc2 import YC2RetrievalDataset, YC2TrainDataset
 __all__ = [
     "HTMFeatureDataset",
     "HTMAlignDataset",
+    "HTMAlignTrainDataset",
+    "HTMClipDataset",
     "YC2RetrievalDataset",
     "YC2TrainDataset",
     "TrainLoader",

@@ -81,3 +81,83 @@ class HTMAlignDataset:
     def __iter__(self) -> Iterator[Dict]:
         for i in range(len(self)):
             yield self[i]
+
+
+class HTMAlignTrainDataset(HTMAlignDataset):
+    """Train-style windowed sampling over the annotated 80-video set
+    (reference data/loader_htm_align.py:38-164): HTMFeatureDataset's tensor
+    contract plus per-sentence ``align`` labels, for supervised probing of the
+    alignability head.  (The reference version is unused by its trainer and
+    slightly stale — SURVEY §2.2; this one shares the eval annotation format.)
+    """
+
+    def __init__(self, feature_dir, annotation_path, tokenizer=None,
+                 seq_len: int = 64, max_sentences: int = 16, max_words: int = 32):
+        super().__init__(feature_dir, annotation_path, tokenizer, max_words)
+        self.seq_len = seq_len
+        self.max_sentences = max_sentences
+
+    def sample(self, index: int, rng) -> Dict:
+        item = self[index]
+        video = item["video"]
+        vlen = video.shape[0]
+        T, N, W = self.seq_len, self.max_sentences, self.max_words
+
+        anchors = [s for s in item["sentences"]
+                   if s["aligned"] and s["start"] < max(vlen - T, 1)]
+        if anchors:
+            start_ts = int(round(anchors[rng.randint(len(anchors))]["start"]))
+        else:
+            start_ts = 0
+        start_ts = min(start_ts, max(vlen - T, 0))
+        end_ts = start_ts + T
+
+        from temporalalignnet_tpu.data.padding import pad_video_by_last
+
+        cut, video_mask = pad_video_by_last(
+            video[start_ts:end_ts].astype(np.float32), T
+        )
+        input_ids = np.zeros((N, W), np.int32)
+        s_arr = np.zeros(N, np.float32)
+        e_arr = np.zeros(N, np.float32)
+        align = np.zeros(N, np.float32)
+        text_pad = np.ones(N, bool)
+        n = 0
+        for s in item["sentences"]:
+            if n == N:
+                break
+            # alignable sentences enter by their GT span; non-alignable ones by
+            # their ASR order position (they have no GT timestamps)
+            st, en = s["start"], s["end"]
+            if s["aligned"]:
+                if en <= start_ts or st >= end_ts:
+                    continue
+                trim_s = max(st - start_ts, 0.0)
+                trim_e = min(en - start_ts, float(T))
+                if trim_e <= trim_s:
+                    continue
+            else:
+                trim_s, trim_e = 0.0, float(T)
+            input_ids[n] = s["input_ids"][:W]
+            s_arr[n], e_arr[n] = trim_s, trim_e
+            align[n] = s["aligned"]
+            text_pad[n] = False
+            n += 1
+        if n == 0:
+            input_ids[0] = self._tokenize("[UNK]")
+            s_arr[0], e_arr[0] = 0, T
+            text_pad[0] = False
+            n = 1
+        abs_pos = np.zeros((N, 2), np.float32)
+        abs_pos[:n, 0] = (s_arr[:n] + start_ts) / max(vlen, 1)
+        abs_pos[:n, 1] = (e_arr[:n] + start_ts) / max(vlen, 1)
+        return {
+            "video": cut,
+            "video_padding_mask": video_mask,
+            "input_ids": input_ids,
+            "text_padding_mask": text_pad,
+            "start": s_arr,
+            "end": e_arr,
+            "abs_text_pos": abs_pos,
+            "align": align,
+        }

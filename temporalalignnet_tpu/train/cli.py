@@ -68,7 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_iterations", type=int, default=1000)
     p.add_argument("--backprop_freq", type=int, default=1)
     p.add_argument("--clip_grad_norm", type=float, default=0.0)
+    p.add_argument("--clip_mode", default="per_param", choices=["per_param", "global"])
+    p.add_argument("--skip_nonfinite", type=int, default=0,
+                   help="skip optimizer steps with non-finite grads (the "
+                   "reference backprops NaN losses)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--disable_jit", action="store_true",
+                   help="debug: run op-by-op (jax.disable_jit)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize for multi-host pods")
     # infra
     p.add_argument("--prefix", default="exp", help="experiment dir root")
     p.add_argument("--name_prefix", default="")
@@ -103,6 +111,13 @@ def main(argv: Optional[list] = None) -> dict:
 
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        from temporalalignnet_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost()
+    if args.disable_jit:
+        jax.config.update("jax_disable_jit", True)
 
     from temporalalignnet_tpu.checkpoint import (
         Checkpointer,
@@ -194,6 +209,8 @@ def main(argv: Optional[list] = None) -> dict:
         total_iterations=steps_per_epoch * args.epochs,
         backprop_freq=args.backprop_freq,
         clip_grad_norm=args.clip_grad_norm,
+        clip_mode=args.clip_mode,
+        skip_nonfinite_updates=bool(args.skip_nonfinite),
         ema_momentum=args.momentum_m,
         seed=args.seed,
         runtime_save_iter=args.runtime_save_iter,

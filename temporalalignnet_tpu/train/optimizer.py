@@ -68,6 +68,22 @@ def cosine_warmup_schedule(cfg: TrainConfig) -> optax.Schedule:
     return fn
 
 
+def clip_per_param(max_norm: float) -> optax.GradientTransformation:
+    """DINO-style PER-PARAMETER norm clip (reference utils/train_utils.py:3-13):
+    each parameter tensor's gradient is scaled down independently when its own
+    L2 norm exceeds ``max_norm`` — unlike global-norm clipping."""
+
+    def update_fn(updates, state, params=None):
+        def clip(g):
+            n = jnp.linalg.norm(g.astype(jnp.float32).reshape(-1))
+            coef = jnp.minimum(max_norm / (n + 1e-6), 1.0)
+            return (g * coef).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(
     cfg: TrainConfig,
     params: Any,
@@ -85,7 +101,10 @@ def make_optimizer(
 
     chain = []
     if cfg.clip_grad_norm > 0:
-        chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+        if cfg.clip_mode == "per_param":
+            chain.append(clip_per_param(cfg.clip_grad_norm))
+        else:
+            chain.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
     chain.append(
         optax.adamw(
             learning_rate=cosine_warmup_schedule(cfg),
@@ -102,6 +121,10 @@ def make_optimizer(
         {"train": tx, "freeze": optax.set_to_zero()},
         jax.tree_util.tree_map(lambda t: "train" if t else "freeze", trainable_mask),
     )
+    if cfg.skip_nonfinite_updates:
+        # the reference backprops NaN losses and only hides them from the
+        # meters (train/main.py:108-109) — here non-finite grads skip the step
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     if cfg.backprop_freq > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.backprop_freq)
     return tx
