@@ -52,7 +52,7 @@ class AlignmentEvaluator:
                 {"params": params},
                 input_ids,
                 mask,
-                method=TANWithText.encode_text,
+                method="encode_text",
             )
 
         def window_sims(params, windows, win_pad, text_embed, text_pad):
@@ -67,7 +67,7 @@ class AlignmentEvaluator:
                 text_b,
                 video_padding_mask=win_pad,
                 lang_padding_mask=text_pad,
-                method=TANWithText.text_visual_sims,
+                method="text_visual_sims",
             )
             # last layer, / temperature (train/main.py:183-184)
             joint = sims["sim"][:, -1] / 0.07  # [Wb, T, N]
@@ -91,7 +91,7 @@ class AlignmentEvaluator:
                 lang_padding_mask=text_pad[None],
                 interpolate_from=cfg.seq_len,
                 effective_len=eff_len,
-                method=TANWithText.text_visual_sims,
+                method="text_visual_sims",
             )
             joint = sims["sim"][0, -1] / 0.07  # [T, N]
             dual = sims["dual-sim"][0, -1] / 0.07

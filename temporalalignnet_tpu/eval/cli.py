@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--task", required=True, choices=["align", "retrieval"])
     p.add_argument("--ckpt", default=None, help=".pth.tar or orbax params dir; "
                    "omit for the raw-feature baseline")
+    p.add_argument("--milnce_ckpt", default=None,
+                   help="baseline mode: s3d_howto100m.pth for the word2vec "
+                   "text tower + 1024->512 fc (eval_zeroshot_align.py:264-291)")
+    p.add_argument("--baseline_sim", default="dot", choices=["dot", "cos"],
+                   help="baseline similarity: dot for MIL-NCE, cos for CLIP")
     p.add_argument("--features", required=True)
     p.add_argument("--anno", required=True)
     p.add_argument("--vocab", required=True)
@@ -54,18 +59,57 @@ def main(argv: Optional[list] = None) -> dict:
 
     tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
     baseline = args.ckpt is None
-    mcfg = ModelConfig(
-        num_encoder_layers=0 if baseline else args.num_encoder_layers,
-        num_joint_layers=1 if baseline else args.num_joint_layers,
-        video_embed_dim=args.video_embed_dim,
-        use_alignability_head=False if baseline else bool(args.use_alignability_head),
-        random_pos_start=False,
-    )
-    model = TANWithText(
-        mcfg, vocab_size=tokenizer.vocab_size,
-        dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
-    )
-    init_params = model.init(
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    if baseline:
+        # raw-feature harness (reference eval_zeroshot_align.py:255-359):
+        # MIL-NCE mode projects 1024-d features through the s3d fc and uses
+        # dot product; CLIP mode is cosine on the features directly
+        from temporalalignnet_tpu.models.baseline import RawFeatureBaseline
+
+        use_proj = args.milnce_ckpt is not None
+        mcfg = ModelConfig(
+            num_encoder_layers=0,
+            num_joint_layers=1,
+            video_embed_dim=args.video_embed_dim,
+            sim=args.baseline_sim,
+            use_alignability_head=False,
+            random_pos_start=False,
+        )
+        model = RawFeatureBaseline(
+            mcfg, vocab_size=tokenizer.vocab_size,
+            use_visual_proj=use_proj, dtype=dtype,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, args.video_embed_dim)),
+            jnp.zeros((1, 2, args.max_words), jnp.int32),
+        )["params"]
+        if use_proj:
+            from temporalalignnet_tpu.checkpoint import (
+                load_milnce_checkpoint,
+                neq_merge,
+            )
+
+            loaded = load_milnce_checkpoint(args.milnce_ckpt)
+            graft = {}
+            if loaded["text_params"]:
+                graft["lang_model"] = loaded["text_params"]
+            if "fc" in loaded["params"]:
+                graft["visual_proj"] = loaded["params"]["fc"]
+            params, report = neq_merge(jax.device_get(params), graft)
+            for line in report:
+                print(f"[baseline] {line}")
+    else:
+        mcfg = ModelConfig(
+            num_encoder_layers=args.num_encoder_layers,
+            num_joint_layers=args.num_joint_layers,
+            video_embed_dim=args.video_embed_dim,
+            use_alignability_head=bool(args.use_alignability_head),
+            random_pos_start=False,
+        )
+        model = TANWithText(mcfg, vocab_size=tokenizer.vocab_size, dtype=dtype)
+    init_params = None if baseline else model.init(
         {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
         jnp.zeros((1, 8, args.video_embed_dim)),
         jnp.zeros((1, 2, args.max_words), jnp.int32),
@@ -73,7 +117,7 @@ def main(argv: Optional[list] = None) -> dict:
     )["params"]
 
     if baseline:
-        params = init_params
+        pass  # params built above
     elif args.ckpt.endswith((".pth.tar", ".pth", ".tar")):
         from temporalalignnet_tpu.checkpoint import load_reference_checkpoint
 

@@ -72,7 +72,7 @@ class RetrievalEvaluator:
                 video_padding_mask=win_pad,
                 interpolate_from=seq_len if interpolate else None,
                 effective_len=eff_len if interpolate else None,
-                method=TANWithText.visual_feature,
+                method="visual_feature",
             )[:, -1]  # last layer [K, L, C]
             # norm first, then avg over segment time and clips (:201-203)
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
@@ -86,10 +86,10 @@ class RetrievalEvaluator:
         def text_feature(params, input_ids):
             mask = (input_ids != 0).astype(jnp.int32)
             emb = model.apply(
-                {"params": params}, input_ids, mask, method=TANWithText.encode_text
+                {"params": params}, input_ids, mask, method="encode_text"
             )
             feat = model.apply(
-                {"params": params}, emb, method=TANWithText.textual_feature
+                {"params": params}, emb, method="textual_feature"
             )
             return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
