@@ -39,10 +39,20 @@ class AlignmentEvaluator:
     {'aligned': 0/1, 'start': float, 'end': float, 'input_ids': np [W] int}}.
     """
 
-    def __init__(self, model: TANWithText, params, cfg: EvalConfig):
+    def __init__(self, model: TANWithText, params, cfg: EvalConfig, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — window batches shard over its
+        'data' axis so whole-corpus eval scales across chips (params/text stay
+        replicated; XLA inserts nothing else — windows are independent)."""
         self.model = model
         self.params = params
         self.cfg = cfg
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from temporalalignnet_tpu.parallel.mesh import DATA_AXIS
+
+            self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         a_layer = min(cfg.alignability_layer, model.cfg.num_joint_layers - 1)
         use_head = model.cfg.use_alignability_head
 
@@ -185,12 +195,18 @@ class AlignmentEvaluator:
                 wins[w, :valid] = video[step : step + valid]
                 wpad[w, :valid] = False
                 tpad[w, :n_text] = ~m
+            if self._batch_sharding is not None:
+                wins_d = jax.device_put(wins, self._batch_sharding)
+                wpad_d = jax.device_put(wpad, self._batch_sharding)
+                tpad_d = jax.device_put(tpad, self._batch_sharding)
+            else:
+                wins_d, wpad_d, tpad_d = jnp.asarray(wins), jnp.asarray(wpad), jnp.asarray(tpad)
             joint, dual, a_d, a_j = self._window_sims(
                 self.params,
-                jnp.asarray(wins),
-                jnp.asarray(wpad),
+                wins_d,
+                wpad_d,
                 text_embed,
-                jnp.asarray(tpad),
+                tpad_d,
             )
             joint = np.asarray(joint)
             dual = np.asarray(dual)

@@ -248,6 +248,7 @@ def main(argv: Optional[list] = None) -> dict:
                     model, params,
                     EvalConfig(seq_len=args.seq_len,
                                use_alignability_head=mcfg.use_alignability_head),
+                    mesh=mesh,
                 )
                 _eval_cache["align"] = (ev, list(ds))
             ev, corpus = _eval_cache["align"]

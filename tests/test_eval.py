@@ -137,6 +137,20 @@ class TestAlignmentEvaluator:
         assert 0.0 <= m["Recall"] <= 1.0
         assert 0.0 <= m["AUC"] <= 1.0
 
+    def test_sharded_eval_matches_single_device(self, rng):
+        """Window batches sharded over an 8-device 'data' axis must reproduce
+        single-device metrics exactly (windows are independent)."""
+        from temporalalignnet_tpu.parallel.mesh import make_mesh
+
+        model, params = tiny_model()
+        corpus = make_corpus(rng, num_videos=2)
+        cfg = EvalConfig(seq_len=32, batch_windows=8)
+        single = AlignmentEvaluator(model, params, cfg).evaluate(corpus)
+        mesh = make_mesh(dp_size=8, tp_size=1)
+        sharded = AlignmentEvaluator(model, params, cfg, mesh=mesh).evaluate(corpus)
+        assert single["Recall"] == pytest.approx(sharded["Recall"])
+        assert single["AUC"] == pytest.approx(sharded["AUC"], abs=1e-6)
+
     def test_global_method(self, rng):
         model, params = tiny_model()
         corpus = make_corpus(rng, num_videos=1)
