@@ -327,3 +327,40 @@ class TestFullLoss:
 
         g = jax.grad(f)(outputs["logits_dual"])
         assert np.abs(np.asarray(g)).max() == 0.0
+
+
+class TestSlidingMeanFastPath:
+    def test_cumsum_matches_circulant_oracle(self, rng):
+        """The O(BNT) cumsum sliding-window must reproduce the materialized
+        [B,N,T,T] circulant kernel bank exactly (incl. boundary exclusion,
+        truncated-window drops, padded sentences, and short durations)."""
+        import jax.numpy as jnp
+
+        from temporalalignnet_tpu.losses.agreement import (
+            _best_window_cumsum,
+            _best_window_circulant,
+            _window_kernel_bank,
+        )
+
+        B, S, T, N = 3, 2, 24, 5
+        logits = jnp.asarray(rng.randn(B, S, T, N), jnp.float32)
+        # durations incl. 1, T-long, and padded sentences
+        binary = np.zeros((B, N, T), np.float32)
+        starts = rng.randint(0, T - 1, (B, N))
+        lens = np.array([[1, 3, T, 7, 2]] * B)
+        for b in range(B):
+            for n in range(N):
+                binary[b, n, starts[b, n] : starts[b, n] + lens[b, n]] = 1
+        text_pad = np.zeros((B, N), bool)
+        text_pad[:, -1] = True
+
+        C = _window_kernel_bank(jnp.asarray(binary), jnp.asarray(text_pad))
+        tgt_o, prob_o, logit_o = _best_window_circulant(logits, C, 0.07)
+
+        durations = jnp.maximum(jnp.asarray(binary).sum(-1), 1.0)
+        durations = jnp.where(jnp.asarray(text_pad), 0.0, durations)
+        tgt_f, prob_f, logit_f = _best_window_cumsum(logits, durations, 0.07)
+
+        np.testing.assert_allclose(np.asarray(prob_f), np.asarray(prob_o), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(logit_f), np.asarray(logit_o), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(tgt_f), np.asarray(tgt_o))
