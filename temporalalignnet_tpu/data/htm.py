@@ -148,6 +148,20 @@ class HTMFeatureDataset:
             : self.cfg.max_words
         ]
 
+    def _captions_for(self, vid: str) -> Dict[str, list]:
+        """Caption record; the htm-fe tag maps vid -> a per-video CSV path
+        (loader_htm.py:81-84,196-199) while htm-370k/1200k inline the record."""
+        caps = self.captions[vid]
+        if isinstance(caps, str):
+            with open(caps, newline="") as f:
+                rows = list(csv.DictReader(f))
+            caps = {
+                "text": [r["text"] for r in rows],
+                "start": [float(r["start"]) for r in rows],
+                "end": [float(r["end"]) for r in rows],
+            }
+        return caps
+
     def sample(self, index: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         """One fixed-shape training window (reference __getitem__ + _get_text,
         loader_htm.py:131-258)."""
@@ -157,7 +171,7 @@ class HTMFeatureDataset:
         feature = load_feature(self.feature_dir, vid)
         vlen = feature.shape[0]
 
-        caps = self.captions[vid]
+        caps = self._captions_for(vid)
         starts = np.asarray(caps["start"], np.float64)
         ends = np.asarray(caps["end"], np.float64)
         texts = caps["text"]

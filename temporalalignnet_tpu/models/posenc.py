@@ -30,6 +30,27 @@ def sine_position_embedding(
     return emb.reshape(num_features, feature_dim)
 
 
+def position_embedding_sine_from_mask(
+    padding_mask: jnp.ndarray,  # [B, T] True = pad
+    feature_dim: int = 512,
+    temperature: float = 10000.0,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Mask-driven 1-D DETR-style sine embedding (reference tfm_model.py:106-134):
+    positions count only non-padded steps, optionally normalized to [0, 2π] per
+    sequence.  Returns [B, T, feature_dim]."""
+    not_mask = (~padding_mask).astype(jnp.float32)
+    pos = jnp.cumsum(not_mask, axis=1)  # 1-indexed positions over valid steps
+    if normalize:
+        eps = 1e-6
+        pos = pos / (pos[:, -1:] + eps) * (2 * math.pi)
+    dim_t = jnp.arange(feature_dim, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / feature_dim)
+    ang = pos[:, :, None] / dim_t  # [B, T, D]
+    emb = jnp.stack((jnp.sin(ang[:, :, 0::2]), jnp.cos(ang[:, :, 1::2])), axis=3)
+    return emb.reshape(*pos.shape, feature_dim)
+
+
 def linear_interpolate(table: jnp.ndarray, out_len: int, effective_len=None) -> jnp.ndarray:
     """1-D linear resize along axis 0, matching torch F.interpolate(align_corners=False).
 

@@ -68,6 +68,31 @@ class MetricsWriter:
             self._tb.close()
 
 
+class Logger:
+    """Tee console lines into a log file (reference utils/utils.py:124-136)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self._file = open(path, "a", buffering=1)
+
+    def log(self, msg: str) -> None:
+        print(msg, flush=True)
+        self._file.write(msg + "\n")
+
+    def close(self) -> None:
+        self._file.close()
+
+
+def denormalize(frames, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+    """Undo ImageNet normalization on [..., H, W, 3] float frames for
+    visualization (reference utils/utils.py:73-86, channel-last here)."""
+    import numpy as np
+
+    frames = np.asarray(frames, np.float32)
+    return np.clip(frames * np.asarray(std) + np.asarray(mean), 0.0, 1.0)
+
+
 def device_memory_stats() -> Dict[str, float]:
     """TPU equivalent of the reference's nvidia-smi polling
     (utils/tensorboard_utils.py:9-73)."""

@@ -121,3 +121,56 @@ class TestWhisperLogic:
 
         with pytest.raises(ImportError, match="whisperx is required"):
             _require_whisperx()
+
+
+class TestSmallParityBits:
+    def test_csv_caption_format(self, tmp_path, rng):
+        """htm-fe tag: captions dict maps vid -> per-video csv path
+        (loader_htm.py:81-84,196-199)."""
+        import csv as csv_mod
+
+        from temporalalignnet_tpu.core.config import DataConfig
+        from temporalalignnet_tpu.data import HTMFeatureDataset
+        from temporalalignnet_tpu.models.word2vec import Word2VecTokenizer
+
+        feat = tmp_path / "f"
+        feat.mkdir()
+        np.save(feat / "v.mp4.npy", rng.randn(100, 8).astype(np.float32))
+        cap_csv = tmp_path / "v_caps.csv"
+        with open(cap_csv, "w", newline="") as f:
+            w = csv_mod.DictWriter(f, fieldnames=["text", "start", "end"])
+            w.writeheader()
+            for j in range(12):
+                w.writerow({"text": "cut the onion", "start": j * 5.0,
+                            "end": j * 5.0 + 4.0})
+        tok = Word2VecTokenizer(["cut", "the", "onion"], max_words=6)
+        cfg = DataConfig(seq_len=32, max_sentences=4, max_words=6, feature_dim=8)
+        ds = HTMFeatureDataset(str(feat), {"v": str(cap_csv)}, cfg, "train", tok)
+        s = ds.sample(0, np.random.RandomState(0))
+        assert (~s["text_padding_mask"]).sum() >= 1
+        assert s["input_ids"][0].sum() > 0
+
+    def test_mask_driven_sine(self):
+        from temporalalignnet_tpu.models.posenc import (
+            position_embedding_sine_from_mask,
+            sine_position_embedding,
+        )
+
+        pad = jnp.zeros((2, 16), bool).at[1, 8:].set(True)
+        emb = position_embedding_sine_from_mask(pad, feature_dim=32)
+        assert emb.shape == (2, 16, 32)
+        # row 1's valid prefix spans the same normalized range as a full row
+        np.testing.assert_allclose(
+            np.asarray(emb[1, 7]), np.asarray(emb[0, 15]), atol=1e-5
+        )
+
+    def test_logger_and_denorm(self, tmp_path):
+        from temporalalignnet_tpu.utils.logging import Logger, denormalize
+
+        lg = Logger(str(tmp_path / "log.txt"))
+        lg.log("hello")
+        lg.close()
+        assert "hello" in (tmp_path / "log.txt").read_text()
+        x = np.zeros((2, 2, 3), np.float32)
+        out = denormalize(x)
+        np.testing.assert_allclose(out[0, 0], [0.485, 0.456, 0.406], atol=1e-6)
