@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_alignability_head", type=int, default=1)
     p.add_argument("--num_clips", type=int, default=10)
     p.add_argument("--batch_windows", type=int, default=32)
+    p.add_argument("--shard_eval", action="store_true",
+                   help="shard window batches over all local devices")
     return p
 
 
@@ -136,9 +138,14 @@ def main(argv: Optional[list] = None) -> dict:
         num_clips=args.num_clips,
         batch_windows=args.batch_windows,
     )
+    mesh = None
+    if args.shard_eval and jax.device_count() > 1:
+        from temporalalignnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(-1, 1)
     if args.task == "align":
         ds = HTMAlignDataset(args.features, args.anno, tokenizer, args.max_words)
-        out = AlignmentEvaluator(model, params, cfg).evaluate(list(ds))
+        out = AlignmentEvaluator(model, params, cfg, mesh=mesh).evaluate(list(ds))
     else:
         ds = YC2RetrievalDataset(args.features, args.anno, "val", tokenizer, args.max_words)
         out = RetrievalEvaluator(model, params, cfg).evaluate(list(ds))

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--vocab", default=None, help="word list .npy (s3d_dict format)")
+    p.add_argument("--milnce_ckpt", default=None,
+                   help="s3d_howto100m.pth: initialize the word2vec tower from "
+                   "MIL-NCE weights (the reference always does, "
+                   "word2vec_model.py:10-23)")
     # optim (train/config.py:31-40)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--wd", type=float, default=1e-5)
@@ -200,6 +204,14 @@ def main(argv: Optional[list] = None) -> dict:
     )
     if len(dataset) == 0:
         raise SystemExit("no training videos after filtering")
+    if len(dataset) < args.batch_size:
+        print(
+            f"WARNING: dataset ({len(dataset)} videos) smaller than "
+            f"--batch_size {args.batch_size}; with drop_last every epoch would "
+            "be empty — clamping batch_size"
+        )
+        args.batch_size = len(dataset)
+        dcfg = dataclasses.replace(dcfg, batch_size=args.batch_size)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     tcfg = TrainConfig(
         lr=args.lr,
@@ -291,6 +303,30 @@ def main(argv: Optional[list] = None) -> dict:
     }
     state, tx = create_train_state(model, tcfg, loss_cfg, sample_batch,
                                    seed=args.seed, mesh=mesh)
+
+    if args.milnce_ckpt:
+        # pretrained MIL-NCE text tower (reference loads it unconditionally,
+        # model/word2vec_model.py:10-23)
+        from temporalalignnet_tpu.checkpoint import load_milnce_checkpoint, neq_merge
+
+        text_params = load_milnce_checkpoint(args.milnce_ckpt)["text_params"]
+        if text_params:
+            merged, report = neq_merge(
+                jax.device_get(state.params), {"lang_model": text_params}
+            )
+            for line in report:
+                if "lang_model" in line:
+                    print(f"[milnce] {line}")
+            state = dataclasses.replace(
+                state, params=jax.tree_util.tree_map(jnp.asarray, merged)
+            )
+            if state.ema_params is not None:
+                state = dataclasses.replace(
+                    state,
+                    ema_params=jax.tree_util.tree_map(
+                        lambda x: x.copy(), state.params
+                    ),
+                )
 
     if args.test:
         params = _load_any_params(args.test, state)
