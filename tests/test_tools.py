@@ -222,3 +222,46 @@ class TestExtractor:
         # resume: nothing re-extracted
         out2 = fx.run(videos, str(tmp_path / "feats"))
         assert out2 == []
+
+
+class TestHTMAAGeneration:
+    def test_align_corpus_threshold_and_csv(self, tmp_path, rng):
+        from temporalalignnet_tpu.tools.generate_htm_aa import (
+            align_corpus,
+            write_htm_aa_csv,
+        )
+
+        class FakeEvaluator:
+            def evaluate_video(self, item):
+                n = len(item["sentences"])
+                vlen = item["video"].shape[0]
+                sim = np.zeros((n, vlen), np.float32)
+                scores = np.zeros(n, np.float32)
+                for i, s in enumerate(item["sentences"]):
+                    sim[i, int(s["start"])] = 5.0  # peak at GT start
+                    scores[i] = s["gt_score"]
+                return {"sim": sim, "align_score": scores}
+
+        items = [{
+            "vid": "v0",
+            "video": np.zeros((50, 4), np.float32),
+            "sentences": [
+                {"text": "good one", "start": 10.0, "end": 20.0, "gt_score": 0.9},
+                {"text": "weak one", "start": 30.0, "end": 40.0, "gt_score": 0.1},
+            ],
+        }]
+        rows = align_corpus(FakeEvaluator(), items, threshold=0.5)
+        assert len(rows) == 1
+        assert rows[0]["text"] == "good one"
+        assert rows[0]["timestamp"] == 10.0
+
+        out = tmp_path / "aa.csv"
+        write_htm_aa_csv(rows, str(out))
+        import csv as csv_mod
+
+        back = list(csv_mod.DictReader(open(out)))
+        assert back[0]["vid"] == "v0" and float(back[0]["timestamp"]) == 10.0
+
+        # quantile mode keeps the top half
+        rows_q = align_corpus(FakeEvaluator(), items, threshold_quantile=0.5)
+        assert len(rows_q) == 1
