@@ -114,9 +114,57 @@ class AlignmentEvaluator:
                 a_joint = jnp.max(jnp.where(tmask, -jnp.inf, joint), axis=0)
             return joint, dual, a_dual, a_joint
 
+        def video_canvas(params, video_b, text_embed, steps, win_valid, active, vlen):
+            """Whole-video fused path: gather windows, run sims, and
+            scatter-add the overlap canvases ON DEVICE, so per video only the
+            full feature array goes up and only the stitched [Nb, Vb] canvas
+            comes back — one device round trip instead of one per chunk.
+
+            video_b [Vb, C]; steps [Wb] window starts; win_valid [Wb];
+            active [Wb, Nb] active-sentence masks.
+            """
+            Vb = video_b.shape[0]
+            T = cfg.seq_len
+            idx = steps[:, None] + jnp.arange(T)[None, :]  # [Wb, T]
+            in_range = idx < vlen  # true length, NOT the padded bucket
+            wins = video_b[jnp.minimum(idx, Vb - 1)]  # [Wb, T, C]
+            joint, dual, a_d, a_j = window_sims(
+                params, wins, ~in_range, text_embed, ~active
+            )
+            # contribution mask: valid window x in-range time x active text
+            wmask = (
+                win_valid[:, None, None] & in_range[:, :, None] & active[:, None, :]
+            ).astype(joint.dtype)
+            Nb = text_embed.shape[0]
+            canvas_j = jnp.zeros((Nb, Vb), joint.dtype)
+            canvas_d = jnp.zeros((Nb, Vb), joint.dtype)
+            counter = jnp.zeros((Nb, Vb), joint.dtype)
+            cj = (joint * wmask).transpose(2, 0, 1)  # [Nb, Wb, T]
+            cd = (dual * wmask).transpose(2, 0, 1)
+            canvas_j = canvas_j.at[:, idx].add(cj)
+            canvas_d = canvas_d.at[:, idx].add(cd)
+            counter = counter.at[:, idx].add(wmask.transpose(2, 0, 1))
+            # per-text alignability accumulation over contributing windows
+            amask = (win_valid[:, None] & active).astype(joint.dtype)  # [Wb, Nb]
+            a_d_acc = jnp.sum(a_d * amask, axis=0)
+            a_j_acc = jnp.sum(a_j * amask, axis=0)
+            t_counter = jnp.sum(amask, axis=0)
+            eps = 1e-5
+            sim = (
+                canvas_j / jnp.maximum(counter, eps)
+                + canvas_d / jnp.maximum(counter, eps)
+            ) / 2.0  # ROC-AUC bugfix norm + (joint+dual)/2 (:200-205)
+            if use_head:
+                align = a_j_acc / jnp.maximum(t_counter, eps)
+            else:
+                masked = jnp.where(sim == 0, MASK_VALUE, sim)
+                align = jnp.max(masked, axis=-1)
+            return sim, align
+
         self._encode_text = jax.jit(encode_text)
         self._window_sims = jax.jit(window_sims)
         self._global_sims = jax.jit(global_sims)
+        self._video_canvas = jax.jit(video_canvas)
 
     # ---------------------------------------------------------------- host side
 
@@ -176,6 +224,33 @@ class AlignmentEvaluator:
             if m is not None and m.sum() > 0:
                 work.append((int(step), m))
 
+        if self._batch_sharding is None:
+            # fused on-device path: one H2D of the features, one D2H of the
+            # stitched canvas (the chunked path below remains for mesh sharding)
+            Wb = _round_up(max(len(work), 1), 16)
+            Vb = _round_up(vlen, 128)
+            video_b = np.zeros((Vb, video.shape[1]), np.float32)
+            video_b[:vlen] = video
+            steps_a = np.zeros(Wb, np.int32)
+            win_valid = np.zeros(Wb, bool)
+            active = np.zeros((Wb, n_bucket), bool)
+            for w, (step, m) in enumerate(work):
+                steps_a[w] = step
+                win_valid[w] = True
+                active[w, :n_text] = m
+            sim_d, align_d = self._video_canvas(
+                self.params,
+                jnp.asarray(video_b),
+                text_embed,
+                jnp.asarray(steps_a),
+                jnp.asarray(win_valid),
+                jnp.asarray(active),
+                jnp.asarray(vlen, jnp.int32),
+            )
+            sim = np.asarray(sim_d)[:n_text, :vlen]
+            align_score = np.asarray(align_d)[:n_text]
+            return {"sim": sim, "align_score": align_score}
+
         logits = np.zeros((n_text, vlen), np.float32)
         logits_dual = np.zeros((n_text, vlen), np.float32)
         counter = np.zeros((n_text, vlen), np.float32)
@@ -183,7 +258,12 @@ class AlignmentEvaluator:
         a_joint_acc = np.zeros(n_text, np.float32)
         t_counter = np.zeros(n_text, np.float32)
 
+        # Two passes: dispatch every chunk first (jax executes asynchronously,
+        # so H2D + compute of chunk k+1 overlap the host-side accumulation of
+        # chunk k), then read results in order.  Outputs are small
+        # ([Wb, T, Nb] fp32 per chunk), so holding them on device is cheap.
         chunk = cfg.batch_windows
+        pending = []
         for c0 in range(0, len(work), chunk):
             part = work[c0 : c0 + chunk]
             Wb = chunk
@@ -201,13 +281,11 @@ class AlignmentEvaluator:
                 tpad_d = jax.device_put(tpad, self._batch_sharding)
             else:
                 wins_d, wpad_d, tpad_d = jnp.asarray(wins), jnp.asarray(wpad), jnp.asarray(tpad)
-            joint, dual, a_d, a_j = self._window_sims(
-                self.params,
-                wins_d,
-                wpad_d,
-                text_embed,
-                tpad_d,
+            pending.append(
+                (part, self._window_sims(self.params, wins_d, wpad_d, text_embed, tpad_d))
             )
+
+        for part, (joint, dual, a_d, a_j) in pending:
             joint = np.asarray(joint)
             dual = np.asarray(dual)
             a_d = np.asarray(a_d)

@@ -30,8 +30,13 @@ MODEL_AXIS = "model"
 def make_mesh(dp_size: int = -1, tp_size: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh over the available devices.
 
-    dp_size == -1 means "all devices / tp_size".
+    dp_size == -1 means "all devices / tp_size".  When no explicit device list
+    is given, jax's mesh_utils picks a physical-topology-aware ordering so the
+    inner (model/TP) axis — which carries per-layer activation collectives —
+    rides contiguous ICI links, and DP gradient all-reduces use the remaining
+    torus dimensions (the scaling-book layout recipe).
     """
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -39,6 +44,14 @@ def make_mesh(dp_size: int = -1, tp_size: int = 1, devices=None) -> Mesh:
         assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
         dp_size = n // tp_size
     assert dp_size * tp_size == n, f"dp {dp_size} x tp {tp_size} != {n} devices"
+    if not explicit:
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh((dp_size, tp_size))
+            return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        except Exception:
+            pass  # e.g. CPU platform without topology info
     dev_array = np.asarray(devices).reshape(dp_size, tp_size)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

@@ -137,6 +137,29 @@ class TestAlignmentEvaluator:
         assert 0.0 <= m["Recall"] <= 1.0
         assert 0.0 <= m["AUC"] <= 1.0
 
+    def test_fused_canvas_matches_chunked(self, rng):
+        """The fused on-device gather+stitch path (mesh=None) must equal the
+        host-stitched chunked path (forced via a 1-device mesh)."""
+        import jax as _jax
+
+        from temporalalignnet_tpu.parallel.mesh import make_mesh
+
+        model, params = tiny_model()
+        corpus = make_corpus(rng, num_videos=2)
+        cfg = EvalConfig(seq_len=32, batch_windows=4)
+        fused = AlignmentEvaluator(model, params, cfg)
+        chunked = AlignmentEvaluator(
+            model, params, cfg,
+            mesh=make_mesh(dp_size=1, tp_size=1, devices=_jax.devices()[:1]),
+        )
+        for item in corpus:
+            a = fused.evaluate_video(item)
+            b = chunked.evaluate_video(item)
+            np.testing.assert_allclose(a["sim"], b["sim"], atol=2e-5)
+            np.testing.assert_allclose(
+                a["align_score"], b["align_score"], atol=2e-5
+            )
+
     def test_sharded_eval_matches_single_device(self, rng):
         """Window batches sharded over an 8-device 'data' axis must reproduce
         single-device metrics exactly (windows are independent)."""
