@@ -165,6 +165,11 @@ class AlignmentEvaluator:
         self._window_sims = jax.jit(window_sims)
         self._global_sims = jax.jit(global_sims)
         self._video_canvas = jax.jit(video_canvas)
+        # corpus mode: vmap over a video batch — the whole eval set runs in a
+        # handful of device calls (grouped by padded-shape bucket)
+        self._video_canvas_batched = jax.jit(
+            jax.vmap(video_canvas, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        )
 
     # ---------------------------------------------------------------- host side
 
@@ -192,8 +197,8 @@ class AlignmentEvaluator:
         mask[left : right + 1] = True
         return mask
 
-    def evaluate_video(self, item: Dict) -> Dict[str, np.ndarray]:
-        """Returns {'sim': [N, vlen] canvas, 'align_score': [N]}."""
+    def _prepare_video(self, item: Dict) -> Dict:
+        """Host-side prep shared by the fused / batched / chunked paths."""
         cfg = self.cfg
         video = np.asarray(item["video"], np.float32)
         vlen = video.shape[0]
@@ -204,47 +209,60 @@ class AlignmentEvaluator:
         ends = np.array([s["end"] for s in sents], np.float32)
         mid_ts = (starts + ends) / 2.0
 
-        # encode all sentences once (bucketed)
         n_bucket = _round_up(n_text, 8)
         ids = np.zeros((n_bucket, len(sents[0]["input_ids"])), np.int32)
         for i, s in enumerate(sents):
             ids[i] = s["input_ids"]
-        text_embed = self._encode_text(self.params, jnp.asarray(ids))  # [Nb, Ct]
-        global_text_pad = np.arange(n_bucket) >= n_text
-
-        if cfg.method == "global":
-            return self._evaluate_global(video, text_embed, global_text_pad, n_text)
 
         seq_len = cfg.seq_len
         steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
-
         work = []  # (step, active_mask)
         for idx, step in enumerate(steps):
             m = self._active_text_mask(idx, step, len(steps), vlen, aligned, mid_ts)
             if m is not None and m.sum() > 0:
                 work.append((int(step), m))
 
+        Wb = _round_up(max(len(work), 1), 16)
+        Vb = _round_up(vlen, 128)
+        video_b = np.zeros((Vb, video.shape[1]), np.float32)
+        video_b[:vlen] = video
+        steps_a = np.zeros(Wb, np.int32)
+        win_valid = np.zeros(Wb, bool)
+        active = np.zeros((Wb, n_bucket), bool)
+        for w, (step, m) in enumerate(work):
+            steps_a[w] = step
+            win_valid[w] = True
+            active[w, :n_text] = m
+        return dict(
+            video=video, vlen=vlen, n_text=n_text, n_bucket=n_bucket, ids=ids,
+            work=work, Wb=Wb, Vb=Vb, video_b=video_b, steps_a=steps_a,
+            win_valid=win_valid, active=active,
+        )
+
+    def evaluate_video(self, item: Dict) -> Dict[str, np.ndarray]:
+        """Returns {'sim': [N, vlen] canvas, 'align_score': [N]}."""
+        cfg = self.cfg
+        prep = self._prepare_video(item)
+        video, vlen, n_text = prep["video"], prep["vlen"], prep["n_text"]
+        n_bucket, work = prep["n_bucket"], prep["work"]
+        text_embed = self._encode_text(self.params, jnp.asarray(prep["ids"]))
+        global_text_pad = np.arange(n_bucket) >= n_text
+
+        if cfg.method == "global":
+            return self._evaluate_global(video, text_embed, global_text_pad, n_text)
+
+        seq_len = cfg.seq_len
+
         if self._batch_sharding is None:
             # fused on-device path: one H2D of the features, one D2H of the
             # stitched canvas (the chunked path below remains for mesh sharding)
-            Wb = _round_up(max(len(work), 1), 16)
-            Vb = _round_up(vlen, 128)
-            video_b = np.zeros((Vb, video.shape[1]), np.float32)
-            video_b[:vlen] = video
-            steps_a = np.zeros(Wb, np.int32)
-            win_valid = np.zeros(Wb, bool)
-            active = np.zeros((Wb, n_bucket), bool)
-            for w, (step, m) in enumerate(work):
-                steps_a[w] = step
-                win_valid[w] = True
-                active[w, :n_text] = m
             sim_d, align_d = self._video_canvas(
                 self.params,
-                jnp.asarray(video_b),
+                jnp.asarray(prep["video_b"]),
                 text_embed,
-                jnp.asarray(steps_a),
-                jnp.asarray(win_valid),
-                jnp.asarray(active),
+                jnp.asarray(prep["steps_a"]),
+                jnp.asarray(prep["win_valid"]),
+                jnp.asarray(prep["active"]),
                 jnp.asarray(vlen, jnp.int32),
             )
             sim = np.asarray(sim_d)[:n_text, :vlen]
@@ -335,13 +353,52 @@ class AlignmentEvaluator:
             align_score = np.asarray(a_j)[:n_text]
         return {"sim": sim, "align_score": align_score}
 
+    def evaluate_corpus_batched(self, corpus: Sequence[Dict]) -> List[Dict]:
+        """Batched fused path: videos grouped by padded-shape bucket and run
+        through the vmapped canvas — the whole eval set in a handful of device
+        calls.  Returns per-video {'sim', 'align_score'} in corpus order."""
+        preps = [self._prepare_video(item) for item in corpus]
+        groups: Dict[tuple, List[int]] = {}
+        for i, p in enumerate(preps):
+            groups.setdefault((p["Vb"], p["Wb"], p["n_bucket"]), []).append(i)
+
+        results: List[Optional[Dict]] = [None] * len(corpus)
+        for (Vb, Wb, Nb), idxs in groups.items():
+            ids = np.stack([preps[i]["ids"] for i in idxs])  # [V, Nb, W]
+            text = self._encode_text(
+                self.params, jnp.asarray(ids.reshape(-1, ids.shape[-1]))
+            ).reshape(len(idxs), Nb, -1)
+            sim_d, align_d = self._video_canvas_batched(
+                self.params,
+                jnp.asarray(np.stack([preps[i]["video_b"] for i in idxs])),
+                text,
+                jnp.asarray(np.stack([preps[i]["steps_a"] for i in idxs])),
+                jnp.asarray(np.stack([preps[i]["win_valid"] for i in idxs])),
+                jnp.asarray(np.stack([preps[i]["active"] for i in idxs])),
+                jnp.asarray([preps[i]["vlen"] for i in idxs], jnp.int32),
+            )
+            sim_h = np.asarray(sim_d)
+            align_h = np.asarray(align_d)
+            for k, i in enumerate(idxs):
+                n, v = preps[i]["n_text"], preps[i]["vlen"]
+                results[i] = {
+                    "sim": sim_h[k, :n, :v],
+                    "align_score": align_h[k, :n],
+                }
+        return results
+
     def evaluate(self, corpus: Sequence[Dict]) -> Dict[str, float]:
         """Full-corpus metrics: Recall (R@1 over alignable sentences) and ROC-AUC
         over alignability (eval_zeroshot_align.py:222-250)."""
+        corpus = list(corpus)
+        if self._batch_sharding is None and self.cfg.method != "global":
+            per_video = self.evaluate_corpus_batched(corpus)
+        else:
+            per_video = [self.evaluate_video(item) for item in corpus]
+
         recall = []
         all_scores, all_tgts = [], []
-        for item in corpus:
-            res = self.evaluate_video(item)
+        for item, res in zip(corpus, per_video):
             sim = res["sim"]
             sents = item["sentences"]
             aligned = np.array([s["aligned"] for s in sents]).astype(bool)
