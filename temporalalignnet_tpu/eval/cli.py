@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_windows", type=int, default=32)
     p.add_argument("--shard_eval", action="store_true",
                    help="shard window batches over all local devices")
+    p.add_argument("--f32", action="store_true",
+                   help="force float32 compute (bf16 on TPU shifts metrics by "
+                   "~1e-3 from accumulation order; f32 is bit-reproducible)")
     return p
 
 
@@ -61,7 +64,11 @@ def main(argv: Optional[list] = None) -> dict:
 
     tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
     baseline = args.ckpt is None
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    dtype = (
+        jnp.float32
+        if args.f32 or jax.default_backend() != "tpu"
+        else jnp.bfloat16
+    )
 
     if baseline:
         # raw-feature harness (reference eval_zeroshot_align.py:255-359):
