@@ -26,17 +26,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def sample_clip_windows(
-    feature: np.ndarray,  # [vlen, C]
-    start: float,
-    end: float,
-    num_clips: int = 10,
-):
-    """Adaptive multi-window sampling (eval_zeroshot_retrieval.py:105-141):
-    chosen_vlen = clip(2*duration, 32, 256); windows staggered to cover (or tile)
-    the annotated segment.  Returns (windows [num_clips, L, C], start_idx, end_idx).
-    """
-    vlen = feature.shape[0]
+def plan_clip_windows(start: float, end: float, num_clips: int = 10):
+    """Window placement only (no gather): returns
+    (chosen_start [K] — may be negative, chosen_vlen, start_idx, end_idx)
+    per eval_zeroshot_retrieval.py:105-141: chosen_vlen = clip(2*duration,
+    32, 256); windows staggered to cover (or tile) the annotated segment."""
     duration = int(np.floor(end - start))
     chosen_vlen = int(np.clip(duration * 2, 32, 256))
     if chosen_vlen >= duration:
@@ -52,6 +46,21 @@ def sample_clip_windows(
         chosen_start = int(start) + lag
         start_idx = np.zeros_like(lag)
         end_idx = np.zeros_like(lag) + chosen_vlen
+    return chosen_start, chosen_vlen, start_idx, end_idx
+
+
+def sample_clip_windows(
+    feature: np.ndarray,  # [vlen, C]
+    start: float,
+    end: float,
+    num_clips: int = 10,
+):
+    """Host-side gather form of plan_clip_windows (kept for direct use/tests).
+    Returns (windows [num_clips, L, C], start_idx, end_idx)."""
+    vlen = feature.shape[0]
+    chosen_start, chosen_vlen, start_idx, end_idx = plan_clip_windows(
+        start, end, num_clips
+    )
     idx = chosen_start[:, None] + np.arange(chosen_vlen)[None, :]
     idx = np.clip(idx, 0, vlen - 1)
     return feature[idx], start_idx, end_idx
@@ -94,44 +103,100 @@ class RetrievalEvaluator:
             return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
         self._clip_feature = jax.jit(clip_feature, static_argnums=(5,))
+
+        def clip_features_gathered(
+            params,
+            videos,      # [U, Vb, C] unique videos, padded
+            vid_idx,     # [Q] clip -> video row
+            starts,      # [Q, K] window starts (may be negative)
+            vlens,       # [Q] true video lengths
+            wpad,        # [Q, K, Lb] True = pad
+            seg,         # [Q, K, Lb] True = inside annotated segment
+            eff_len,     # [Q] true window length (pos-enc interpolation)
+            interpolate: bool,
+        ):
+            """Batched clip features with ON-DEVICE window gathering: the host
+            uploads each video once; the 10x window duplication happens in HBM.
+            Boundary clamping replicates sample_clip_windows' np.clip
+            (eval_zeroshot_retrieval.py:129-131)."""
+            Lb = wpad.shape[-1]
+            idx = starts[:, :, None] + jnp.arange(Lb)[None, None, :]  # [Q, K, Lb]
+            idx = jnp.clip(idx, 0, vlens[:, None, None] - 1)
+            wins = videos[vid_idx[:, None, None], idx]  # [Q, K, Lb, C]
+            return jax.vmap(clip_feature, in_axes=(None, 0, 0, 0, 0, None))(
+                params, wins, wpad, seg, eff_len, interpolate
+            )
+
+        self._clip_features_gathered = jax.jit(
+            clip_features_gathered, static_argnums=(8,)
+        )
         self._text_feature = jax.jit(text_feature)
 
-    def evaluate(self, items: Sequence[Dict]) -> Dict[str, float]:
-        """items: {'video': [vlen,C], 'start', 'end', 'input_ids': [W] int}."""
+    def _prepare_item(self, it: Dict):
         cfg = self.cfg
-        vis, txt = [], []
-        for it in items:
-            windows, s_idx, e_idx = sample_clip_windows(
-                np.asarray(it["video"], np.float32),
-                it["start"],
-                it["end"],
-                cfg.num_clips,
-            )
-            K, L, C = windows.shape
-            Lb = _round_up(L, 32)
-            wb = np.zeros((K, Lb, C), np.float32)
-            wb[:, :L] = windows
-            wpad = np.broadcast_to(np.arange(Lb) >= L, (K, Lb)).copy()
-            seg = np.zeros((K, Lb), bool)
-            for k in range(K):
-                seg[k, s_idx[k] : e_idx[k]] = True
-            interpolate = L >= cfg.seq_len  # (:181-184)
-            v = self._clip_feature(
+        K = cfg.num_clips
+        starts, L, s_idx, e_idx = plan_clip_windows(it["start"], it["end"], K)
+        Lb = _round_up(L, 32)
+        wpad = np.broadcast_to(np.arange(Lb) >= L, (K, Lb)).copy()
+        seg = np.zeros((K, Lb), bool)
+        for k in range(K):
+            seg[k, s_idx[k] : e_idx[k]] = True
+        return starts, L, Lb, wpad, seg, L >= cfg.seq_len  # (:181-184)
+
+    def evaluate(self, items: Sequence[Dict]) -> Dict[str, float]:
+        """items: {'video': [vlen,C], 'start', 'end', 'input_ids': [W] int}.
+
+        Each unique video ('vid' key, else array identity) uploads ONCE; the
+        10x window duplication is an on-device gather.  Clips group by
+        (window-length bucket, interpolate) into vmapped calls.
+        """
+        items = list(items)
+        preps = [self._prepare_item(it) for it in items]
+
+        # unique-video table, padded to one corpus-wide bucket
+        vid_keys = [it.get("vid", i) for i, it in enumerate(items)]
+        uniq: Dict = {}
+        for i, k in enumerate(vid_keys):
+            uniq.setdefault(k, np.asarray(items[i]["video"], np.float32))
+        max_vlen = max(v.shape[0] for v in uniq.values())
+        Vb = _round_up(max_vlen, 128)
+        C = next(iter(uniq.values())).shape[1]
+        videos = np.zeros((len(uniq), Vb, C), np.float32)
+        vlens = np.zeros(len(uniq), np.int32)
+        row_of = {}
+        for r, (k, v) in enumerate(uniq.items()):
+            videos[r, : v.shape[0]] = v
+            vlens[r] = v.shape[0]
+            row_of[k] = r
+        videos_d = jnp.asarray(videos)
+
+        groups: Dict[tuple, list] = {}
+        for i, (_, _, Lb, _, _, interp) in enumerate(preps):
+            groups.setdefault((Lb, interp), []).append(i)
+
+        vis = [None] * len(items)
+        for (Lb, interp), idxs in groups.items():
+            vid_idx = np.asarray([row_of[vid_keys[i]] for i in idxs], np.int32)
+            v = self._clip_features_gathered(
                 self.params,
-                jnp.asarray(wb),
-                jnp.asarray(wpad),
-                jnp.asarray(seg),
-                jnp.asarray(L, jnp.int32),
-                interpolate,
+                videos_d,
+                jnp.asarray(vid_idx),
+                jnp.asarray(np.stack([preps[i][0] for i in idxs]).astype(np.int32)),
+                jnp.asarray(vlens[vid_idx]),
+                jnp.asarray(np.stack([preps[i][3] for i in idxs])),
+                jnp.asarray(np.stack([preps[i][4] for i in idxs])),
+                jnp.asarray([preps[i][1] for i in idxs], jnp.int32),
+                interp,
             )
-            vis.append(np.asarray(v))
-            t = self._text_feature(
-                self.params, jnp.asarray(it["input_ids"], np.int32)[None]
-            )
-            txt.append(np.asarray(t)[0])
+            v = np.asarray(v)
+            for k, i in enumerate(idxs):
+                vis[i] = v[k]
+
+        ids = np.stack([np.asarray(it["input_ids"], np.int32) for it in items])
+        txt = np.asarray(self._text_feature(self.params, jnp.asarray(ids)))
 
         V = np.stack(vis)  # [Q, C]
-        X = np.stack(txt)
+        X = txt
         out = retrieval_metrics(X @ V.T)
         Vc, Xc = V - V.mean(0, keepdims=True), X - X.mean(0, keepdims=True)
         out.update(retrieval_metrics(Xc @ Vc.T, prefix="C-"))
