@@ -302,3 +302,49 @@ class TestClipDataset:
             check_existence=False, num_frames=4, crop_size=8,
         )
         assert ds.vid_list == ["ok"]
+
+
+class TestLinearProbe:
+    def test_separable_classes(self, rng):
+        from temporalalignnet_tpu.eval.linear_probe import linear_probe
+
+        C, D, n = 5, 16, 40
+        centers = rng.randn(C, D) * 3
+        def make(n_per):
+            X, y = [], []
+            for c in range(C):
+                X.append(centers[c] + 0.3 * rng.randn(n_per, D))
+                y.append(np.full(n_per, c))
+            return np.concatenate(X).astype(np.float32), np.concatenate(y)
+        Xtr, ytr = make(n)
+        Xte, yte = make(10)
+        m = linear_probe(Xtr, ytr, Xte, yte, num_classes=C, steps=300)
+        assert m["top1"] >= 0.95, m
+        assert m["top5"] == 1.0
+
+    def test_probe_on_s3d_embeddings(self, rng):
+        """End-to-end: S3D embeddings of color-coded clips are linearly
+        separable by class."""
+        import jax
+        from temporalalignnet_tpu.eval.linear_probe import linear_probe
+        from temporalalignnet_tpu.models.s3d import S3D
+
+        model = S3D()
+        clips0 = jnp.asarray(rng.rand(2, 4, 32, 32, 3) * 0.2, jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), clips0)
+
+        def embed(batch):
+            return np.asarray(model.apply(variables, jnp.asarray(batch),
+                                          return_embedding=True))
+
+        def clipset(color, n):
+            base = np.zeros((n, 4, 32, 32, 3), np.float32)
+            base[..., color] = 0.8
+            return base + 0.05 * rng.rand(n, 4, 32, 32, 3).astype(np.float32)
+
+        Xtr = np.concatenate([embed(clipset(c, 6)) for c in range(3)])
+        ytr = np.repeat(np.arange(3), 6)
+        Xte = np.concatenate([embed(clipset(c, 3)) for c in range(3)])
+        yte = np.repeat(np.arange(3), 3)
+        m = linear_probe(Xtr, ytr, Xte, yte, num_classes=3, steps=200)
+        assert m["top1"] >= 0.8, m
