@@ -1,6 +1,12 @@
-from temporalalignnet_tpu.eval.metrics import roc_auc_score, retrieval_metrics
 from temporalalignnet_tpu.eval.align import AlignmentEvaluator, test_alignment
-from temporalalignnet_tpu.eval.retrieval import RetrievalEvaluator, test_retrieval
+from temporalalignnet_tpu.eval.linear_probe import linear_probe
+from temporalalignnet_tpu.eval.metrics import retrieval_metrics, roc_auc_score
+from temporalalignnet_tpu.eval.retrieval import (
+    RetrievalEvaluator,
+    plan_clip_windows,
+    sample_clip_windows,
+    test_retrieval,
+)
 
 __all__ = [
     "roc_auc_score",
@@ -9,4 +15,7 @@ __all__ = [
     "test_alignment",
     "RetrievalEvaluator",
     "test_retrieval",
+    "plan_clip_windows",
+    "sample_clip_windows",
+    "linear_probe",
 ]
