@@ -35,6 +35,14 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
     G, H, S, D = q_ref.shape
     scale = jax.lax.rsqrt(jnp.asarray(D, jnp.float32))
     bias = bias_ref[:, 0, :]  # [G, S]
+    # f32 inputs: full-precision MXU passes (match XLA under any global
+    # matmul-precision default); bf16: single-pass — Mosaic cannot lower the
+    # multi-pass f32 emulation 'highest' would request for bf16 operands
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     # fold windows x heads into one batched dot_general: G*H small [S, D]
     # tiles stream through the MXU in a single dispatch
@@ -47,6 +55,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
             k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
         * scale
     ).reshape(G, H, S, S) + bias[:, None, None, :]
@@ -59,6 +68,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
         v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(out_ref.dtype).reshape(G, H, S, D)
 
 

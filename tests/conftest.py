@@ -30,6 +30,11 @@ jax.config.update("jax_platforms", _PLATFORM)
 jax.config.update("jax_compilation_cache_dir", "/tmp/tan_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+if _PLATFORM != "cpu":
+    # hardware runs: f32 matmuls otherwise lower to multi-pass bf16 whose
+    # accumulation order breaks the 1e-5-level torch-parity tolerances
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture
 def rng():

@@ -165,6 +165,10 @@ class TestAlignmentEvaluator:
         single-device metrics exactly (windows are independent)."""
         from temporalalignnet_tpu.parallel.mesh import make_mesh
 
+        import jax as _jax
+
+        if _jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU mesh CI)")
         model, params = tiny_model()
         corpus = make_corpus(rng, num_videos=2)
         cfg = EvalConfig(seq_len=32, batch_windows=8)

@@ -135,7 +135,8 @@ class TestMultiDevice:
         """Same batch, same init: the 8-way data-parallel step must produce the
         same loss and (numerically close) params as single-device — GSPMD's
         all-gathered negatives preserve the global MIL-NCE coupling."""
-        assert jax.device_count() >= 8
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU mesh CI)")
 
         _, state_s, step_s, batch = tiny_setup(B=8)
         for _ in range(2):
@@ -156,6 +157,8 @@ class TestMultiDevice:
 
     def test_dp_tp_mesh_runs(self):
         """dp=4 x tp=2 mesh: step executes and matches single-device loss."""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU mesh CI)")
         mesh = make_mesh(dp_size=4, tp_size=2)
         _, state_s, step_s, batch = tiny_setup(B=4)
         _, metrics_s = step_s(state_s, batch)
