@@ -51,6 +51,10 @@ class TrainLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.epoch = 0
+        # persistent worker pool across epochs (the reference's DataLoaderFast
+        # _RepeatSampler trick, utils/data_utils.py:60-88, without the torch
+        # worker-process respawn cost)
+        self._pool = ThreadPoolExecutor(num_workers)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -77,14 +81,13 @@ class TrainLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(nb):
-                        if stop.is_set():
-                            return
-                        lo = b * self.batch_size
-                        hi = min(lo + self.batch_size, len(order))
-                        samples = list(pool.map(build_sample, range(lo, hi)))
-                        q.put(stack_samples(samples))
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    hi = min(lo + self.batch_size, len(order))
+                    samples = list(self._pool.map(build_sample, range(lo, hi)))
+                    q.put(stack_samples(samples))
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
