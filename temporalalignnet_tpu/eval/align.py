@@ -107,7 +107,9 @@ class AlignmentEvaluator:
             dual = sims["dual-sim"][0, -1] / 0.07
             if use_head:
                 a_dual = sims["alignability-dual"][0, :, 0]
-                a_joint = sims["alignability-joint"][0, a_layer, :, 0]
+                # global method reads the LAST joint layer's head, unlike
+                # overlap-seq's layer 2 (eval_zeroshot_align.py:213 vs :186)
+                a_joint = sims["alignability-joint"][0, -1, :, 0]
             else:
                 tmask = vid_pad[:, None]
                 a_dual = jnp.max(jnp.where(tmask, -jnp.inf, dual), axis=0)
@@ -347,10 +349,9 @@ class AlignmentEvaluator:
             jnp.asarray(vlen, jnp.int32),
         )
         sim = np.asarray(joint)[:vlen, :n_text].T  # [N, vlen] (:209-210)
-        if self.model.cfg.use_alignability_head:
-            align_score = np.asarray(a_j)[:n_text]
-        else:
-            align_score = np.asarray(a_j)[:n_text]
+        # head selection (last joint layer) vs max-over-time both happen inside
+        # the jitted global_sims (:211-217)
+        align_score = np.asarray(a_j)[:n_text]
         return {"sim": sim, "align_score": align_score}
 
     def evaluate_corpus_batched(self, corpus: Sequence[Dict]) -> List[Dict]:

@@ -187,6 +187,44 @@ class TestAlignmentEvaluator:
         m = ev.evaluate(corpus)
         assert 0.0 <= m["AUC"] <= 1.0
 
+    def test_global_matches_oracle_and_reads_last_layer_head(self, rng):
+        """Global method must equal a direct exact-length forward, with the
+        alignability head read from the LAST joint layer — unlike overlap-seq's
+        layer 2 (reference eval_zeroshot_align.py:213 vs :186)."""
+        model, params = tiny_model(use_alignability_head=True, num_joint_layers=3)
+        corpus = make_corpus(rng, num_videos=1, min_len=70, max_len=90)
+        item = corpus[0]
+        ev = AlignmentEvaluator(
+            model, params, EvalConfig(seq_len=32, method="global")
+        )
+        res = ev.evaluate_video(item)
+
+        video = np.asarray(item["video"], np.float32)
+        vlen = video.shape[0]
+        sents = item["sentences"]
+        ids = np.stack([s["input_ids"] for s in sents])
+        mask = (ids != 0).astype(np.int32)
+        text = model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            method=TANWithText.encode_text,
+        )
+        sims = model.apply(
+            {"params": params},
+            jnp.asarray(video)[None],
+            text[None],
+            interpolate_from=32,
+            effective_len=jnp.asarray(vlen, jnp.int32),
+            method=TANWithText.text_visual_sims,
+        )
+        # global sim canvas is joint-only (eval_zeroshot_align.py:209-210)
+        sim_oracle = np.asarray(sims["sim"][0, -1]).T / 0.07
+        head_last = np.asarray(sims["alignability-joint"][0, -1, :, 0])
+        head_layer2 = np.asarray(sims["alignability-joint"][0, 2 - 1, :, 0])
+        np.testing.assert_allclose(res["sim"], sim_oracle, atol=2e-4)
+        np.testing.assert_allclose(res["align_score"], head_last, atol=2e-4)
+        # the two layers genuinely differ, so the assertion above is meaningful
+        assert not np.allclose(head_last, head_layer2, atol=1e-4)
+
 
 class TestRetrieval:
     def test_sample_clip_windows_cover_segment(self):
