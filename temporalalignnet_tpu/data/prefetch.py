@@ -51,13 +51,19 @@ class TrainLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.epoch = 0
+        self.start_batch = 0
         # persistent worker pool across epochs (the reference's DataLoaderFast
         # _RepeatSampler trick, utils/data_utils.py:60-88, without the torch
         # worker-process respawn cost)
         self._pool = ThreadPoolExecutor(num_workers)
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """``start_batch``: resume mid-epoch — the next iteration yields batches
+        [start_batch, len) of this epoch's deterministic order, exactly the
+        batches an interrupted run never consumed (reference restores only the
+        epoch boundary, train/main.py:443-444; this is finer-grained)."""
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -81,7 +87,7 @@ class TrainLoader:
 
         def producer():
             try:
-                for b in range(nb):
+                for b in range(self.start_batch, nb):
                     if stop.is_set():
                         return
                     lo = b * self.batch_size

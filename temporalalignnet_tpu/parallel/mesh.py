@@ -43,7 +43,11 @@ def make_mesh(dp_size: int = -1, tp_size: int = 1, devices=None) -> Mesh:
     if dp_size == -1:
         assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
         dp_size = n // tp_size
-    assert dp_size * tp_size == n, f"dp {dp_size} x tp {tp_size} != {n} devices"
+    want = dp_size * tp_size
+    assert want <= n, f"dp {dp_size} x tp {tp_size} > {n} devices"
+    if want < n:  # explicit smaller mesh: use a device-prefix
+        devices = devices[:want]
+        explicit = True
     if not explicit:
         try:
             from jax.experimental import mesh_utils
@@ -111,3 +115,24 @@ def place_params(params: Any, mesh: Mesh) -> Any:
     """Device_put params according to the TP rules."""
     shardings = shard_params(params, mesh)
     return jax.device_put(params, shardings)
+
+
+def place_opt_state(opt_state: Any, mesh: Mesh) -> Any:
+    """Device_put an optax state onto the mesh.
+
+    Param-shaped moments live under paths that END with the param path
+    (e.g. ``.../mu/aligner/.../attn/q_proj/kernel``), so the same TP rules
+    match; scalar counters and anything unmatched replicate.  Needed because
+    leaves created by ``tx.init`` outside an explicit placement end up
+    committed to device 0, which later conflicts with mesh-placed params
+    inside jit (and checkpoint restore faithfully reproduces the skew).
+    """
+
+    def sharding(path, leaf):
+        if getattr(leaf, "ndim", 0) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, param_sharding_rules(_path_str(path)))
+
+    return jax.device_put(
+        opt_state, jax.tree_util.tree_map_with_path(sharding, opt_state)
+    )

@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--language_model", default="word2vec", choices=["word2vec"])
     p.add_argument("--num_encoder_layers", type=int, default=6)
     p.add_argument("--num_joint_layers", type=int, default=6)
+    p.add_argument("--width", type=int, default=512,
+                   help="transformer width (the reference hardcodes 512; its "
+                   "--hidden_dim flag is parsed but dead, SURVEY §2.4)")
+    p.add_argument("--heads", type=int, default=8)
     p.add_argument("--sim", default="cos", choices=["cos", "dot"])
     p.add_argument("--pos_enc", default="learned", choices=["learned", "sine"])
     p.add_argument("--use_text_pos_enc", type=int, default=0)
@@ -168,6 +172,8 @@ def main(argv: Optional[list] = None) -> dict:
         args.use_alignability_head = 1
 
     mcfg = ModelConfig(
+        width=args.width,
+        heads=args.heads,
         num_encoder_layers=args.num_encoder_layers,
         num_joint_layers=args.num_joint_layers,
         video_embed_dim=args.video_embed_dim,
@@ -354,9 +360,19 @@ def main(argv: Optional[list] = None) -> dict:
         )
 
     ckpt = Checkpointer(exp_dir, best_metric="Recall")
+    start_epoch, start_batch = 0, 0
     if args.resume:
         state = ckpt.restore(state)
-        print(f"resumed at step {int(state.step)}")
+        # epoch/iteration fidelity (reference train/main.py:443-444 restores
+        # start_epoch=epoch+1; we derive both from the step counter, which also
+        # recovers the mid-epoch position of a runtime checkpoint): the resumed
+        # run replays neither data order nor the epoch-driven eval cadence.
+        start_epoch = int(state.step) // steps_per_epoch
+        start_batch = int(state.step) % steps_per_epoch
+        print(
+            f"resumed at step {int(state.step)} "
+            f"(epoch {start_epoch}, batch {start_batch})"
+        )
 
     step_fn = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
     writer = MetricsWriter(exp_dir)
@@ -369,10 +385,10 @@ def main(argv: Optional[list] = None) -> dict:
     stop = False
 
     with trace(args.profile_dir):
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             if stop:
                 break
-            loader.set_epoch(epoch)
+            loader.set_epoch(epoch, start_batch if epoch == start_epoch else 0)
             progress = ProgressMeter(len(loader), [loss_meter, data_meter],
                                      prefix=f"Epoch {epoch} ")
             t_data = time.perf_counter()

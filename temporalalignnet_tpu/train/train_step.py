@@ -65,11 +65,19 @@ def create_train_state(
         deterministic=False,
     )["params"]
     tx = make_optimizer(cfg, params, policy=loss_cfg.optim_policy)
+    step = jnp.zeros((), jnp.int32)
+    state_rng = jax.random.fold_in(rng, 2)
     if mesh is not None:
-        from temporalalignnet_tpu.parallel.mesh import place_params
+        from temporalalignnet_tpu.parallel.mesh import place_opt_state, place_params
 
         params = place_params(params, mesh)
-        opt_state = jax.jit(tx.init)(params)
+        # every state leaf must be committed onto the mesh: a checkpoint restore
+        # reproduces each leaf's sharding exactly, and any device-0-only leaf
+        # next to mesh-placed params is an incompatible-devices error under jit
+        opt_state = place_opt_state(tx.init(params), mesh)
+        rep = NamedSharding(mesh, P())
+        step = jax.device_put(step, rep)
+        state_rng = jax.device_put(state_rng, rep)
     else:
         opt_state = tx.init(params)
     # EMA target starts as a true copy (tan_model.py:335-338); must not alias the
@@ -81,11 +89,11 @@ def create_train_state(
     )
     return (
         TrainState(
-            step=jnp.zeros((), jnp.int32),
+            step=step,
             params=params,
             ema_params=ema,
             opt_state=opt_state,
-            rng=jax.random.fold_in(rng, 2),
+            rng=state_rng,
         ),
         tx,
     )

@@ -9,14 +9,11 @@
 - orbax save/restore round trip and resume semantics.
 """
 
-import collections
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
-import torch.nn as nn
 
 from temporalalignnet_tpu.checkpoint import (
     Checkpointer,
@@ -29,124 +26,19 @@ from temporalalignnet_tpu.checkpoint import (
 from temporalalignnet_tpu.core.config import LossConfig, ModelConfig, TrainConfig
 from temporalalignnet_tpu.models.net import TANWithText
 
+from torch_replica import TorchTAN
+
 WIDTH, HEADS, LAYERS = 64, 4, 2
 VDIM, VOCAB = 48, 50
 T, N, W, B = 8, 3, 6, 2
 
 
-# ----------------------------------------------------------------------------
-# Torch replica of the reference model (same key space as model/tan_model.py).
-# Written from the SURVEY description, not copied; it exists to prove the
-# converter + flax forward reproduce torch nn.MultiheadAttention semantics.
-# ----------------------------------------------------------------------------
-
-
-class _TorchBlock(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.attn = nn.MultiheadAttention(WIDTH, HEADS, batch_first=True)
-        self.ln_1 = nn.LayerNorm(WIDTH)
-        self.mlp = nn.Sequential(
-            collections.OrderedDict(
-                [
-                    ("c_fc", nn.Linear(WIDTH, WIDTH * 4)),
-                    ("gelu", nn.Identity()),  # replaced by QuickGELU in forward
-                    ("c_proj", nn.Linear(WIDTH * 4, WIDTH)),
-                ]
-            )
-        )
-        self.ln_2 = nn.LayerNorm(WIDTH)
-
-    def forward(self, x, key_padding_mask=None):
-        x_norm = self.ln_1(x)
-        a, _ = self.attn(
-            x_norm, x_norm, x_norm, key_padding_mask=key_padding_mask, need_weights=False
-        )
-        x = x + a
-        h = self.mlp.c_fc(self.ln_2(x))
-        h = h * torch.sigmoid(1.702 * h)  # QuickGELU
-        return x + self.mlp.c_proj(h), x_norm
-
-
-class _TorchEncoder(nn.Module):
-    def __init__(self, layers):
-        super().__init__()
-        self.resblocks = nn.ModuleList(_TorchBlock() for _ in range(layers))
-
-    def forward(self, x, key_padding_mask=None):
-        taps = []
-        for blk in self.resblocks:
-            x, x_norm = blk(x, key_padding_mask)
-            taps.append(x_norm)
-        taps.pop(0)
-        taps.append(x)
-        return taps
-
-
-class _TorchWord2Vec(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.word_embd = nn.Embedding(VOCAB + 1, 300)
-        self.fc1 = nn.Linear(300, 2048)
-        self.fc2 = nn.Linear(2048, 512)  # word2vec output is 512-d regardless of width
-
-    def forward(self, ids, mask):
-        x = torch.relu(self.fc1(self.word_embd(ids)))
-        keep = mask.bool()
-        keep = keep | ~keep.any(-1, keepdim=True)
-        x = x.masked_fill(~keep.unsqueeze(-1), -6.0e4)
-        return self.fc2(x.max(dim=-2).values)
-
-
-class _TorchTAN(nn.Module):
-    """Key space identical to reference TemporalAligner (tan_model.py:38-72)."""
-
-    def __init__(self):
-        super().__init__()
-        self.bert = _TorchWord2Vec()
-        self.video_temporal_encoder = _TorchEncoder(LAYERS)
-        self.joint_temporal_encoder = _TorchEncoder(LAYERS)
-        self.video_pre_proj = nn.Linear(VDIM, WIDTH, bias=False)
-        self.text_pre_proj = nn.Linear(512, WIDTH, bias=False)
-        self.ln_text_init = nn.LayerNorm(WIDTH)
-        self.ln_video_init = nn.LayerNorm(WIDTH)
-        self.ln_position_init = nn.LayerNorm(WIDTH)
-        self.ln_video_post_enc = nn.LayerNorm(WIDTH)
-        self.ln_joint_post_enc = nn.LayerNorm(WIDTH)
-        self.temporal_pos_embed = nn.Parameter(torch.randn(128, WIDTH) * 0.01)
-        self.text_temporal_pos_embed = nn.Parameter(torch.randn(128, WIDTH) * 0.01)
-        self.mlp = nn.Linear(WIDTH, WIDTH)  # unused, as in the reference
-        self.binary_head = nn.Linear(WIDTH, 1)
-
-    def forward(self, video, ids, tok_mask, lang_padding_mask):
-        nrm = lambda x: x / x.norm(dim=-1, keepdim=True)
-        text = self.ln_text_init(self.text_pre_proj(self.bert(ids, tok_mask)))
-
-        v = self.ln_video_init(self.video_pre_proj(video))
-        v = v + self.ln_position_init(self.temporal_pos_embed[: v.shape[1]])
-        dual = torch.stack(self.video_temporal_encoder(v), dim=1)  # [B,S,T,C]
-        dual = torch.cat(
-            [dual[:, :-1], self.ln_video_post_enc(dual[:, -1:])], dim=1
-        )
-        logits_dual = torch.einsum("astc,bkc->astbk", nrm(dual), nrm(text))
-
-        joint_in = torch.cat([v, text], dim=1)
-        pad = torch.cat(
-            [torch.zeros(video.shape[0], v.shape[1], dtype=torch.bool), lang_padding_mask],
-            dim=1,
-        )
-        joint = torch.stack(self.joint_temporal_encoder(joint_in, pad), dim=1)
-        joint = torch.cat(
-            [joint[:, :-1], self.ln_joint_post_enc(joint[:, -1:])], dim=1
-        )
-        jv, jt = joint[:, :, : v.shape[1]], joint[:, :, v.shape[1] :]
-        logits_joint = torch.einsum("astc,bskc->astbk", nrm(jv), nrm(jt))
-        return logits_dual, logits_joint, self.binary_head(jt)
-
-
 def make_pair(seed=0):
     torch.manual_seed(seed)
-    tmodel = _TorchTAN().eval()
+    tmodel = TorchTAN(
+        width=WIDTH, heads=HEADS, enc_layers=LAYERS, joint_layers=LAYERS,
+        vdim=VDIM, vocab_words=VOCAB, num_pos=128,
+    ).eval()
     cfg = ModelConfig(
         width=WIDTH,
         heads=HEADS,
