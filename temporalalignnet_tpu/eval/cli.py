@@ -30,13 +30,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="baseline similarity: dot for MIL-NCE, cos for CLIP")
     p.add_argument("--features", required=True)
     p.add_argument("--anno", required=True)
-    p.add_argument("--vocab", required=True)
+    p.add_argument("--vocab", default=None,
+                   help="s3d_dict.npy word list (required for word2vec)")
+    p.add_argument("--language_model", default="word2vec",
+                   choices=["word2vec", "bert"])
+    p.add_argument("--bert_dir", default=None,
+                   help="local HF dir (config.json/vocab.txt) for bert")
     p.add_argument("--method", default="overlap-seq", choices=["overlap-seq", "global"])
     p.add_argument("--seq_len", type=int, default=64)
     p.add_argument("--max_words", type=int, default=32)
     p.add_argument("--video_embed_dim", type=int, default=1024)
     p.add_argument("--num_encoder_layers", type=int, default=6)
     p.add_argument("--num_joint_layers", type=int, default=6)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--heads", type=int, default=8)
     p.add_argument("--use_alignability_head", type=int, default=1)
     p.add_argument("--num_clips", type=int, default=10)
     p.add_argument("--batch_windows", type=int, default=32)
@@ -62,7 +69,18 @@ def main(argv: Optional[list] = None) -> dict:
     from temporalalignnet_tpu.models.net import TANWithText
     from temporalalignnet_tpu.models.word2vec import Word2VecTokenizer
 
-    tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
+    bert_config = None
+    if args.language_model == "bert":
+        if not args.bert_dir:
+            raise SystemExit("--language_model bert requires --bert_dir")
+        from transformers import BertConfig, BertTokenizer
+
+        tokenizer = BertTokenizer.from_pretrained(args.bert_dir)
+        bert_config = BertConfig.from_pretrained(args.bert_dir)
+    elif args.vocab:
+        tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
+    else:
+        raise SystemExit("--vocab is required for --language_model word2vec")
     baseline = args.ckpt is None
     dtype = (
         jnp.float32
@@ -111,13 +129,17 @@ def main(argv: Optional[list] = None) -> dict:
                 print(f"[baseline] {line}")
     else:
         mcfg = ModelConfig(
+            width=args.width,
+            heads=args.heads,
             num_encoder_layers=args.num_encoder_layers,
             num_joint_layers=args.num_joint_layers,
             video_embed_dim=args.video_embed_dim,
+            language_model=args.language_model,
             use_alignability_head=bool(args.use_alignability_head),
             random_pos_start=False,
         )
-        model = TANWithText(mcfg, vocab_size=tokenizer.vocab_size, dtype=dtype)
+        model = TANWithText(mcfg, vocab_size=tokenizer.vocab_size, dtype=dtype,
+                            bert_config=bert_config)
     init_params = None if baseline else model.init(
         {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
         jnp.zeros((1, 8, args.video_embed_dim)),

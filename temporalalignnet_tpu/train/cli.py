@@ -36,7 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("temporalalignnet_tpu trainer")
     # model (train/config.py:7-20)
     p.add_argument("--model", default="init", choices=["init", "cotrain"])
-    p.add_argument("--language_model", default="word2vec", choices=["word2vec"])
+    p.add_argument("--language_model", default="word2vec",
+                   choices=["word2vec", "bert"])
+    p.add_argument("--bert_dir", default=None,
+                   help="local HF directory (config.json / vocab.txt / optional "
+                   "weights) for --language_model bert (reference "
+                   "tan_model.py:37-38 loads bert-base-uncased; this image has "
+                   "no egress, so weights must be local)")
     p.add_argument("--num_encoder_layers", type=int, default=6)
     p.add_argument("--num_joint_layers", type=int, default=6)
     p.add_argument("--width", type=int, default=512,
@@ -201,7 +207,16 @@ def main(argv: Optional[list] = None) -> dict:
     )
 
     # ---- data
-    if args.vocab:
+    bert_config = None
+    if args.language_model == "bert":
+        # HF tokenizer + config from a local dir (train/main.py:291-292)
+        if not args.bert_dir:
+            raise SystemExit("--language_model bert requires --bert_dir")
+        from transformers import BertConfig, BertTokenizer
+
+        tokenizer = BertTokenizer.from_pretrained(args.bert_dir)
+        bert_config = BertConfig.from_pretrained(args.bert_dir)
+    elif args.vocab:
         tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
     else:
         raise SystemExit("--vocab is required (s3d_dict.npy word list)")
@@ -246,6 +261,7 @@ def main(argv: Optional[list] = None) -> dict:
     model = TANWithText(
         mcfg, vocab_size=tokenizer.vocab_size, dtype=jnp.bfloat16
         if jax.default_backend() == "tpu" else jnp.float32,
+        bert_config=bert_config,
     )
 
     # ---- downstream evaluators (train/main.py:165-212); cached so their jitted
@@ -309,6 +325,40 @@ def main(argv: Optional[list] = None) -> dict:
     }
     state, tx = create_train_state(model, tcfg, loss_cfg, sample_batch,
                                    seed=args.seed, mesh=mesh)
+
+    if args.language_model == "bert" and args.bert_dir:
+        # pretrained weights are optional (a config-only dir trains from
+        # scratch); when present, graft them under params['lang_model']['bert']
+        weight_files = ("flax_model.msgpack", "model.safetensors", "pytorch_model.bin")
+        if any(os.path.exists(os.path.join(args.bert_dir, f)) for f in weight_files):
+            from transformers import FlaxBertModel
+
+            from temporalalignnet_tpu.checkpoint import neq_merge
+
+            fb = FlaxBertModel.from_pretrained(
+                args.bert_dir,
+                from_pt=not os.path.exists(
+                    os.path.join(args.bert_dir, "flax_model.msgpack")
+                ),
+            )
+            merged, report = neq_merge(
+                jax.device_get(state.params), {"lang_model": {"bert": fb.params}}
+            )
+            for line in report:
+                if "lang_model" in line:
+                    print(f"[bert] {line}")
+            state = dataclasses.replace(
+                state, params=jax.tree_util.tree_map(jnp.asarray, merged)
+            )
+            if state.ema_params is not None:
+                state = dataclasses.replace(
+                    state,
+                    ema_params=jax.tree_util.tree_map(
+                        lambda x: x.copy(), state.params
+                    ),
+                )
+        else:
+            print(f"[bert] no weight file in {args.bert_dir}; training from scratch")
 
     if args.milnce_ckpt:
         # pretrained MIL-NCE text tower (reference loads it unconditionally,

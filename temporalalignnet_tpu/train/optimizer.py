@@ -33,7 +33,13 @@ def _path_str(path) -> str:
 
 
 def _no_decay(path: str) -> bool:
-    """LayerNorm / bias / scale params skip weight decay (main.py:332)."""
+    """LayerNorm / bias / scale params skip weight decay (main.py:332).
+
+    Parity note: the reference pattern '.ln_' does NOT match HF BERT's
+    'LayerNorm' parameter names, so with --language_model bert the BERT
+    LayerNorm weights DO get weight decay there — reproduced here (only the
+    aligner's ln_* family is exempt).
+    """
     parts = path.split("/")
     if parts[-1] == "bias":
         return True

@@ -1,0 +1,163 @@
+"""BERT training path (VERDICT r1 missing #2 / next-do #3).
+
+The reference supports ``--language_model bert`` (model/tan_model.py:37-38,
+text dim 768, BertTokenizer, train/main.py:291-292); round 1 hard-gated the
+train CLI to word2vec.  These tests drive a Stage-2 co-train step end-to-end
+with a tiny local BertConfig (no egress: config.json + vocab.txt on disk) and
+check the optimizer story (BERT fully trainable; word2vec's frozen-embedding
+rule must not accidentally freeze BERT's word_embeddings).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from test_golden import CDIM, VOCAB, build_fixtures
+
+
+def _write_bert_dir(root):
+    from transformers import BertConfig
+
+    d = root / "tiny_bert"
+    d.mkdir()
+    cfg = BertConfig(
+        vocab_size=4 + len(VOCAB),
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    cfg.to_json_file(str(d / "config.json"))
+    with open(d / "vocab.txt", "w") as f:
+        for tok in ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + list(VOCAB):
+            f.write(tok + "\n")
+    return str(d)
+
+
+@pytest.mark.slow
+def test_bert_cotrain_step_end_to_end(tmp_path, rng):
+    from temporalalignnet_tpu.checkpoint import load_params
+    from temporalalignnet_tpu.train.cli import main as train_cli_main
+
+    feat_dir, captions, align_feat, align_anno = build_fixtures(tmp_path, rng)
+    bert_dir = _write_bert_dir(tmp_path)
+
+    train_cli_main(
+        [
+            "--feature_dir", feat_dir,
+            "--captions", captions,
+            "--language_model", "bert",
+            "--bert_dir", bert_dir,
+            "--model", "cotrain",
+            "--prefix", str(tmp_path / "exp"),
+            "--seq_len", "32",
+            "--max_sentences", "4",
+            "--max_words", "12",
+            "--batch_size", "4",
+            "--num_workers", "2",
+            "--epochs", "1",
+            "--max_steps", "2",
+            "--warmup_iterations", "1",
+            "--width", "64",
+            "--heads", "4",
+            "--num_encoder_layers", "1",
+            "--num_joint_layers", "1",
+            "--video_embed_dim", str(CDIM),
+            "--loss_threshold", "0.5",
+            "--runtime_save_iter", "0",
+            "--dp", "2",
+            "--tp", "1",
+            "--log_every", "1",
+        ]
+    )
+
+    import glob
+
+    exp = glob.glob(str(tmp_path / "exp" / "*"))[0]
+    # the flag round-trips through the experiment name + running_command.txt
+    assert "cotrain_bert" in os.path.basename(exp)
+    cmd = json.loads(open(os.path.join(exp, "running_command.txt")).read().splitlines()[0])
+    assert cmd["language_model"] == "bert"
+
+    params = load_params(os.path.join(exp, "params_latest"))
+    assert "bert" in params["lang_model"], list(params["lang_model"])
+    # training log exists and losses are finite
+    log = [json.loads(l) for l in open(os.path.join(exp, "train.metrics.jsonl"))]
+    losses = [r["train/loss"] for r in log if "train/loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses), log
+
+    # eval CLI consumes the BERT-trained export end-to-end
+    from temporalalignnet_tpu.eval.cli import main as eval_cli_main
+
+    out = eval_cli_main(
+        [
+            "--task", "align",
+            "--ckpt", os.path.join(exp, "params_latest"),
+            "--features", align_feat,
+            "--anno", align_anno,
+            "--language_model", "bert",
+            "--bert_dir", bert_dir,
+            "--width", "64",
+            "--heads", "4",
+            "--num_encoder_layers", "1",
+            "--num_joint_layers", "1",
+            "--video_embed_dim", str(CDIM),
+            "--seq_len", "32",
+            "--max_words", "12",
+            "--use_alignability_head", "1",
+        ]
+    )
+    assert np.isfinite(out["AUC"]) and np.isfinite(out["Recall"]), out
+
+
+def test_bert_params_fully_trainable(rng):
+    """BERT params (including word_embeddings) must receive non-zero updates;
+    the word2vec frozen-embedding mask must not catch them (reference trains
+    BERT end-to-end; only word2vec's word_embd is frozen)."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import BertConfig
+
+    from temporalalignnet_tpu.core.config import LossConfig, ModelConfig, TrainConfig
+    from temporalalignnet_tpu.data.synthetic import synthetic_batch
+    from temporalalignnet_tpu.models.net import TANWithText
+    from temporalalignnet_tpu.train.train_step import create_train_state, make_train_step
+
+    bcfg = BertConfig(
+        vocab_size=40, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=16,
+    )
+    mcfg = ModelConfig(
+        width=32, heads=2, num_encoder_layers=1, num_joint_layers=1,
+        video_embed_dim=24, num_pos_embeds=64, language_model="bert",
+    )
+    model = TANWithText(mcfg, bert_config=bcfg)
+    batch = synthetic_batch(
+        np.random.RandomState(0), batch_size=2, seq_len=16, max_sentences=2,
+        feature_dim=24, vocab_size=39, max_words=6,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, tx = create_train_state(model, TrainConfig(lr=1e-2, warmup_iterations=1,
+                                                      total_iterations=4),
+                                   LossConfig(), batch)
+    step = make_train_step(model, tx, TrainConfig(lr=1e-2, warmup_iterations=1,
+                                                  total_iterations=4), LossConfig())
+    before = jax.device_get(state.params["lang_model"])
+    # two steps: the warmup schedule makes the lr at step 0 exactly zero
+    state, metrics = step(state, batch)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.device_get(state.params["lang_model"])
+
+    flat_b = {"/".join(map(str, p)): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(before)}
+    flat_a = {"/".join(map(str, p)): np.asarray(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(after)}
+    moved = [k for k in flat_b if not np.allclose(flat_b[k], flat_a[k])]
+    embd_moved = [k for k in moved if "word_embeddings" in k]
+    assert embd_moved, "BERT word_embeddings must be trainable"
+    assert len(moved) > len(flat_b) * 0.5, f"too few BERT params updated: {len(moved)}/{len(flat_b)}"
