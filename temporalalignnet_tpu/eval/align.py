@@ -53,6 +53,17 @@ class AlignmentEvaluator:
             from temporalalignnet_tpu.parallel.mesh import DATA_AXIS
 
             self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            # params committed to one device (converter output through
+            # load_params, or a plain device array) conflict with mesh-sharded
+            # batches inside jit; replicate those onto the mesh.  Already
+            # mesh-placed (multi-device) params — e.g. TP-sharded — are kept.
+            rep = NamedSharding(mesh, P())
+            self.params = jax.tree_util.tree_map(
+                lambda x: x
+                if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+                else jax.device_put(x, rep),
+                params,
+            )
         a_layer = min(cfg.alignability_layer, model.cfg.num_joint_layers - 1)
         use_head = model.cfg.use_alignability_head
 
@@ -236,7 +247,8 @@ class AlignmentEvaluator:
             win_valid[w] = True
             active[w, :n_text] = m
         return dict(
-            video=video, vlen=vlen, n_text=n_text, n_bucket=n_bucket, ids=ids,
+            video=video, vlen=vlen, vlen_a=np.asarray(vlen, np.int32),
+            n_text=n_text, n_bucket=n_bucket, ids=ids,
             work=work, Wb=Wb, Vb=Vb, video_b=video_b, steps_a=steps_a,
             win_valid=win_valid, active=active,
         )
@@ -357,26 +369,44 @@ class AlignmentEvaluator:
     def evaluate_corpus_batched(self, corpus: Sequence[Dict]) -> List[Dict]:
         """Batched fused path: videos grouped by padded-shape bucket and run
         through the vmapped canvas — the whole eval set in a handful of device
-        calls.  Returns per-video {'sim', 'align_score'} in corpus order."""
+        calls.  Returns per-video {'sim', 'align_score'} in corpus order.
+
+        With a mesh, the video-group axis is sharded over 'data' (groups padded
+        to a multiple of the axis size by repeating the last video), so the
+        one-round-trip fused path IS the multi-chip path — corpus eval scales
+        linearly across chips instead of falling back to host stitching.
+        """
         preps = [self._prepare_video(item) for item in corpus]
         groups: Dict[tuple, List[int]] = {}
         for i, p in enumerate(preps):
             groups.setdefault((p["Vb"], p["Wb"], p["n_bucket"]), []).append(i)
 
+        dp = 1
+        if self._batch_sharding is not None:
+            dp = self._batch_sharding.mesh.shape[
+                self._batch_sharding.spec[0]
+            ]
+
         results: List[Optional[Dict]] = [None] * len(corpus)
         for (Vb, Wb, Nb), idxs in groups.items():
-            ids = np.stack([preps[i]["ids"] for i in idxs])  # [V, Nb, W]
-            text = self._encode_text(
-                self.params, jnp.asarray(ids.reshape(-1, ids.shape[-1]))
-            ).reshape(len(idxs), Nb, -1)
+            take = list(idxs) + [idxs[-1]] * ((-len(idxs)) % dp)
+
+            def stacked(key):
+                arr = np.stack([preps[i][key] for i in take])
+                if self._batch_sharding is not None:
+                    return jax.device_put(arr, self._batch_sharding)
+                return jnp.asarray(arr)
+
+            ids = stacked("ids")  # [V, Nb, W]; encode_text handles leading dims
+            text = self._encode_text(self.params, ids)
             sim_d, align_d = self._video_canvas_batched(
                 self.params,
-                jnp.asarray(np.stack([preps[i]["video_b"] for i in idxs])),
+                stacked("video_b"),
                 text,
-                jnp.asarray(np.stack([preps[i]["steps_a"] for i in idxs])),
-                jnp.asarray(np.stack([preps[i]["win_valid"] for i in idxs])),
-                jnp.asarray(np.stack([preps[i]["active"] for i in idxs])),
-                jnp.asarray([preps[i]["vlen"] for i in idxs], jnp.int32),
+                stacked("steps_a"),
+                stacked("win_valid"),
+                stacked("active"),
+                stacked("vlen_a"),
             )
             sim_h = np.asarray(sim_d)
             align_h = np.asarray(align_d)
@@ -392,7 +422,8 @@ class AlignmentEvaluator:
         """Full-corpus metrics: Recall (R@1 over alignable sentences) and ROC-AUC
         over alignability (eval_zeroshot_align.py:222-250)."""
         corpus = list(corpus)
-        if self._batch_sharding is None and self.cfg.method != "global":
+        if self.cfg.method != "global":
+            # fused on-device canvas, single-chip or sharded over the mesh
             per_video = self.evaluate_corpus_batched(corpus)
         else:
             per_video = [self.evaluate_video(item) for item in corpus]

@@ -172,11 +172,22 @@ class TestAlignmentEvaluator:
         model, params = tiny_model()
         corpus = make_corpus(rng, num_videos=2)
         cfg = EvalConfig(seq_len=32, batch_windows=8)
-        single = AlignmentEvaluator(model, params, cfg).evaluate(corpus)
+        ev_single = AlignmentEvaluator(model, params, cfg)
         mesh = make_mesh(dp_size=8, tp_size=1)
-        sharded = AlignmentEvaluator(model, params, cfg, mesh=mesh).evaluate(corpus)
+        ev_sharded = AlignmentEvaluator(model, params, cfg, mesh=mesh)
+        single = ev_single.evaluate(corpus)
+        sharded = ev_sharded.evaluate(corpus)
         assert single["Recall"] == pytest.approx(sharded["Recall"])
         assert single["AUC"] == pytest.approx(sharded["AUC"], abs=1e-6)
+        # the mesh path is the SAME fused vmapped canvas, video axis sharded
+        # over 'data' (group padded to 8) — per-video canvases must agree
+        a = ev_single.evaluate_corpus_batched(corpus)
+        b = ev_sharded.evaluate_corpus_batched(corpus)
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(ra["sim"], rb["sim"], atol=2e-5)
+            np.testing.assert_allclose(
+                ra["align_score"], rb["align_score"], atol=2e-5
+            )
 
     def test_global_method(self, rng):
         model, params = tiny_model()

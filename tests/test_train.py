@@ -130,6 +130,20 @@ class TestTrainStep:
         assert not np.array_equal(p1, p2)
 
 
+def _assert_param_trees_close(expected, got, atol):
+    """Whole-tree comparison with per-leaf names in the failure message
+    (VERDICT r1 weak #5: comparing tree_leaves[0] lets TP-rule regressions in
+    attention/MLP kernels pass)."""
+    ef = jax.tree_util.tree_leaves_with_path(expected)
+    gf = jax.tree_util.tree_leaves_with_path(got)
+    assert len(ef) == len(gf)
+    for (pe, le), (pg, lg) in zip(ef, gf):
+        name = "/".join(str(getattr(k, "key", k)) for k in pe)
+        np.testing.assert_allclose(
+            np.asarray(le), np.asarray(lg), atol=atol, err_msg=name
+        )
+
+
 class TestMultiDevice:
     def test_dp_matches_single_device(self):
         """Same batch, same init: the 8-way data-parallel step must produce the
@@ -151,21 +165,24 @@ class TestMultiDevice:
         np.testing.assert_allclose(
             float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
         )
-        ps = jax.tree_util.tree_leaves(state_s.params)[0]
-        pm = jax.tree_util.tree_leaves(state_m.params)[0]
-        np.testing.assert_allclose(np.asarray(ps), np.asarray(pm), atol=1e-4)
+        _assert_param_trees_close(state_s.params, state_m.params, atol=1e-4)
 
     def test_dp_tp_mesh_runs(self):
-        """dp=4 x tp=2 mesh: step executes and matches single-device loss."""
+        """dp=4 x tp=2 mesh: step executes and the FULL updated param tree
+        matches single-device — a TP-rule regression in the attention/MLP
+        kernels cannot hide behind the loss scalar."""
         if jax.device_count() < 8:
             pytest.skip("needs 8 devices (CPU mesh CI)")
         mesh = make_mesh(dp_size=4, tp_size=2)
         _, state_s, step_s, batch = tiny_setup(B=4)
-        _, metrics_s = step_s(state_s, batch)
+        for _ in range(2):
+            state_s, metrics_s = step_s(state_s, batch)
 
         model, state_m, step_m, _ = tiny_setup(B=4, mesh=mesh)
         sharded = shard_batch(batch, mesh)
-        _, metrics_m = step_m(state_m, sharded)
+        for _ in range(2):
+            state_m, metrics_m = step_m(state_m, sharded)
         np.testing.assert_allclose(
             float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
         )
+        _assert_param_trees_close(state_s.params, state_m.params, atol=1e-4)
