@@ -87,12 +87,20 @@ class S3DWithText:
             "batch_stats": v.get("batch_stats", {}),
         }
 
-    def video_embed(self, variables, clips):
-        return self.video.apply(
-            {"params": variables["params"]["video"],
-             "batch_stats": variables["batch_stats"]},
-            clips,
-        )
+    def video_embed(self, variables, clips, update_stats: bool = False):
+        """Forward the video tower.  With ``update_stats=True`` (only legal
+        when the model was built with ``train_bn_stats=True``) returns
+        ``(embeddings, new_batch_stats)`` — the unfrozen-BN path of the
+        reference (s3dg.py:93-150 BN in train mode; end2end/model_e2e.py:11-18
+        is where the reference chooses frozen vs live BN)."""
+        variables = {"params": variables["params"]["video"],
+                     "batch_stats": variables["batch_stats"]}
+        if update_stats:
+            out, mutated = self.video.apply(
+                variables, clips, mutable=["batch_stats"]
+            )
+            return out, mutated["batch_stats"]
+        return self.video.apply(variables, clips)
 
     def text_embed(self, variables, input_ids, attention_mask=None):
         return self.text.apply(
@@ -109,7 +117,13 @@ def make_e2e_train_step(
 
     Batch: {'clips': [B, n, T, H, W, 3], 'input_ids': [B, n, W_words]} —
     clips flattened to (B n) as in the reference (main_nce.py:75-77).
+
+    If the model was built with ``train_bn_stats=True`` (BN in train mode,
+    i.e. the reference WITHOUT its freeze_bn surgery), the step also runs
+    BN-statistics accumulation and threads the updated running stats into
+    the returned state.
     """
+    train_stats = not model.video.use_running_average
 
     def step_fn(state: E2ETrainState, batch):
         clips = batch["clips"]
@@ -120,17 +134,26 @@ def make_e2e_train_step(
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            v = model.video_embed(variables, clips)
+            if train_stats:
+                v, new_stats = model.video_embed(variables, clips, update_stats=True)
+            else:
+                v = model.video_embed(variables, clips)
+                new_stats = state.batch_stats
             t = model.text_embed(variables, ids, (ids != 0).astype(jnp.int32))
-            return nce_loss(v.astype(jnp.float32), t.astype(jnp.float32), temperature)
+            loss, metrics = nce_loss(
+                v.astype(jnp.float32), t.astype(jnp.float32), temperature
+            )
+            return loss, (metrics, new_stats)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, (metrics, batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = E2ETrainState(
             step=state.step + 1,
             params=params,
-            batch_stats=state.batch_stats,
+            batch_stats=batch_stats,
             opt_state=opt_state,
         )
         metrics = dict(metrics)

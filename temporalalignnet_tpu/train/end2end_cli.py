@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backprop_freq", type=int, default=1)
     p.add_argument("--temperature", type=float, default=0.07)
     p.add_argument("--freeze_early", type=int, default=0)
+    p.add_argument("--train_bn_stats", type=int, default=0,
+                   help="1 = BN in train mode (no FrozenBN surgery); default "
+                        "matches the reference recipe of frozen running stats")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--prefix", default="exp_e2e")
     p.add_argument("--seed", type=int, default=0)
@@ -97,6 +100,7 @@ def main(argv: Optional[list] = None) -> dict:
     model = S3DWithText(
         vocab_size=tokenizer.vocab_size,
         freeze_early=bool(args.freeze_early),
+        train_bn_stats=bool(args.train_bn_stats),
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
 

@@ -229,6 +229,49 @@ class TestE2ETraining:
         stats_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
         np.testing.assert_array_equal(np.asarray(stats_before), np.asarray(stats_after))
 
+    def test_train_bn_stats_update(self, rng):
+        """train_bn_stats=True runs BN in train mode: the step threads
+        mutable=['batch_stats'] and the running stats actually move
+        (the reference's un-frozen path, s3dg.py BN train mode; freeze_bn.py
+        is the surgery that our default emulates)."""
+        model = S3DWithText(num_classes=16, vocab_size=50, train_bn_stats=True)
+        B, n, T, S, W = 2, 1, 4, 32, 6
+        clips = jnp.asarray(rng.rand(B, n, T, S, S, 3), jnp.float32)
+        ids = jnp.asarray(rng.randint(1, 50, (B, n, W)), jnp.int32)
+        variables = model.init(
+            jax.random.PRNGKey(0), clips.reshape(B * n, T, S, S, 3),
+            ids.reshape(B * n, W),
+        )
+        cfg = TrainConfig(lr=1e-3, warmup_iterations=0, total_iterations=50)
+        tx = make_e2e_optimizer(cfg, variables["params"])
+        state = E2ETrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+        )
+        step = make_e2e_train_step(model, tx)
+        stats_before = jax.device_get(state.batch_stats)
+        state, metrics = step(state, {"clips": clips, "input_ids": ids})
+        assert np.isfinite(float(metrics["loss"]))
+        stats_after = jax.device_get(state.batch_stats)
+        moved = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(stats_before),
+                jax.tree_util.tree_leaves(stats_after),
+            )
+        ]
+        # every BN layer sees non-degenerate activations -> all stats move
+        assert all(moved), f"{sum(moved)}/{len(moved)} stats leaves moved"
+        # a second step keeps compounding (momentum EMA, torch BatchNorm3d 0.1)
+        state, _ = step(state, {"clips": clips, "input_ids": ids})
+        stats_third = jax.device_get(state.batch_stats)
+        assert not np.allclose(
+            jax.tree_util.tree_leaves(stats_after)[0],
+            jax.tree_util.tree_leaves(stats_third)[0],
+        )
+
 
 class TestClipDataset:
     def _write_csv(self, path, rows):
