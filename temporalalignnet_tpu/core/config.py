@@ -62,6 +62,10 @@ class ModelConfig:
     use_alignability_head: bool = False
     return_dual_feature: bool = True
     mlp_ratio: int = 4
+    # training forward returns per-layer normalized FEATURES instead of the
+    # materialized [B,S,T,B,N] cross-batch logits, for the fused MIL-NCE
+    # Pallas kernel (ops/pallas_milnce.py); pair with LossConfig.use_fused_milnce
+    fused_milnce: bool = False
 
     @property
     def text_embed_dim(self) -> int:
@@ -88,6 +92,10 @@ class LossConfig:
     # alignability head trains on the joint encoder's layer index 2 (loss.py:341)
     alignability_layer: int = 2
     mask_value: float = -6.0e4  # fp16/bf16-safe -inf substitute (loss.py:98-100)
+    # compute the MIL-NCE logsumexps with the fused Pallas kernel from feature
+    # outputs (requires ModelConfig.fused_milnce); the [B,S,T,B,N] logits
+    # tensors then never exist in HBM.  Single-chip path; keep off under a mesh.
+    use_fused_milnce: bool = False
 
     def replace(self, **kw) -> "LossConfig":
         return dataclasses.replace(self, **kw)

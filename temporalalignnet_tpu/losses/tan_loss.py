@@ -80,20 +80,50 @@ def _bce_with_logits(logits, labels, pos_weight, sel_mask):
     return masked_mean(per_el, sel_mask)
 
 
+def _diag_dual(vfeat, tfeat, inv_temp):
+    """Same-video per-layer sims from dual features: [B,S,T,N]."""
+    return (
+        jnp.einsum("bstc,bnc->bstn", vfeat, tfeat, preferred_element_type=jnp.float32)
+        * inv_temp
+    )
+
+
+def _diag_joint(vfeat, tfeat, inv_temp):
+    """Same-video per-layer sims from joint features (per-layer text)."""
+    return (
+        jnp.einsum("bstc,bsnc->bstn", vfeat, tfeat, preferred_element_type=jnp.float32)
+        * inv_temp
+    )
+
+
 def get_loss(
     outputs: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],
     cfg: LossConfig,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    logits_dual = outputs["logits_dual"].astype(jnp.float32)
-    logits_joint = outputs["logits_joint"].astype(jnp.float32)
-    if cfg.sim == "cos":  # temperature (loss.py:65-70)
-        logits_dual = logits_dual / cfg.temperature
-        logits_joint = logits_joint / cfg.temperature
+    inv_temp = 1.0 / cfg.temperature if cfg.sim == "cos" else 1.0  # loss.py:65-70
+    fused = cfg.use_fused_milnce
+    if fused:
+        # feature outputs (ModelConfig.fused_milnce): the cross-batch logits
+        # never materialize; same-video diagonals are computed directly and the
+        # logsumexps run in the Pallas kernel (ops/pallas_milnce.py)
+        vfd = outputs["dual_feature_video"]  # [B, S, T, C]
+        tfd = outputs["dual_feature_text"]  # [B, N, C]
+        vfj = outputs["joint_feature_video"]  # [B, S, T, C]
+        tfj = outputs["joint_feature_text"]  # [B, S, N, C]
+        B, S, T, _ = vfd.shape
+        N = tfd.shape[1]
+        diag_dual = _diag_dual(vfd, tfd, inv_temp)
+        diag_joint = _diag_joint(vfj, tfj, inv_temp)
+    else:
+        logits_dual = outputs["logits_dual"].astype(jnp.float32) * inv_temp
+        logits_joint = outputs["logits_joint"].astype(jnp.float32) * inv_temp
+        B, S, T, _, N = logits_dual.shape
+        diag_dual = _same_video_diagonal(logits_dual)
+        diag_joint = _same_video_diagonal(logits_joint)
 
     video_padding_mask = batch["video_padding_mask"].astype(bool)
     text_padding_mask = batch["text_padding_mask"].astype(bool)
-    B, S, T, _, N = logits_dual.shape
     mv = cfg.mask_value
 
     metrics: Dict[str, jnp.ndarray] = {}
@@ -108,16 +138,29 @@ def get_loss(
 
     if cfg.learn_agreement:
         if cfg.model == "cotrain":
-            src_joint = outputs["ema-logits_joint"].astype(jnp.float32)
-            src_dual = outputs["ema-logits_dual"].astype(jnp.float32)
-            if cfg.sim == "cos":
-                src_joint = src_joint / cfg.temperature
-                src_dual = src_dual / cfg.temperature
+            if fused:
+                src_joint_diag = _diag_joint(
+                    outputs["ema-joint_feature_video"],
+                    outputs["ema-joint_feature_text"],
+                    inv_temp,
+                )
+                src_dual_diag = _diag_dual(
+                    outputs["ema-dual_feature_video"],
+                    outputs["ema-dual_feature_text"],
+                    inv_temp,
+                )
+            else:
+                src_joint_diag = _same_video_diagonal(
+                    outputs["ema-logits_joint"].astype(jnp.float32) * inv_temp
+                )
+                src_dual_diag = _same_video_diagonal(
+                    outputs["ema-logits_dual"].astype(jnp.float32) * inv_temp
+                )
         else:
-            src_joint, src_dual = logits_joint, logits_dual
+            src_joint_diag, src_dual_diag = diag_joint, diag_dual
         tgt_diag, agree_metrics = agreement_self_labelling(
-            jax.lax.stop_gradient(_same_video_diagonal(src_joint)),
-            jax.lax.stop_gradient(_same_video_diagonal(src_dual)),
+            jax.lax.stop_gradient(src_joint_diag),
+            jax.lax.stop_gradient(src_dual_diag),
             video_padding_mask,
             text_padding_mask,
             binary_tgt_raw,
@@ -134,17 +177,32 @@ def get_loss(
     col_valid = (~text_padding_mask).reshape(B * N)
     pos_mask = (tgt_cross > 0) & col_valid[None]
 
-    v_el_dual, t_el_dual, row_mask, col_mask = _milnce_components(
-        logits_dual, pos_mask, col_valid, mv
-    )
+    if fused:
+        from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_elements
+
+        v_el_dual, t_el_dual = fused_milnce_elements(
+            vfd.transpose(1, 0, 2, 3).reshape(S, B * T, -1),
+            tfd.reshape(B * N, -1),
+            pos_mask, col_valid, mv, inv_temp,
+        )
+        v_el_joint, t_el_joint = fused_milnce_elements(
+            vfj.transpose(1, 0, 2, 3).reshape(S, B * T, -1),
+            tfj.transpose(1, 0, 2, 3).reshape(S, B * N, -1),
+            pos_mask, col_valid, mv, inv_temp,
+        )
+        row_mask = jnp.sum(pos_mask, axis=-1) > 0
+        col_mask = jnp.sum(pos_mask, axis=-2) > 0
+    else:
+        v_el_dual, t_el_dual, row_mask, col_mask = _milnce_components(
+            logits_dual, pos_mask, col_valid, mv
+        )
+        v_el_joint, t_el_joint, _, _ = _milnce_components(
+            logits_joint, pos_mask, col_valid, mv
+        )
     loss_dual = (
         masked_mean(v_el_dual, jnp.broadcast_to(row_mask[None], v_el_dual.shape))
         + masked_mean(t_el_dual, jnp.broadcast_to(col_mask[None], t_el_dual.shape))
     ) / 2.0
-
-    v_el_joint, t_el_joint, _, _ = _milnce_components(
-        logits_joint, pos_mask, col_valid, mv
-    )
     loss_joint = (
         masked_mean(v_el_joint, jnp.broadcast_to(row_mask[None], v_el_joint.shape))
         + masked_mean(t_el_joint, jnp.broadcast_to(col_mask[None], t_el_joint.shape))
@@ -160,8 +218,8 @@ def get_loss(
         # per-text hardness from the last layer's same-video max logits
         # (loss.py:277-290); all statistics over valid (non-padded) texts
         valid_flat = col_valid  # [B*N]
-        dual_diag_last = _same_video_diagonal(logits_dual)[:, -1]  # [B, T, N]
-        joint_diag_last = _same_video_diagonal(logits_joint)[:, -1]
+        dual_diag_last = diag_dual[:, -1]  # [B, T, N]
+        joint_diag_last = diag_joint[:, -1]
         max_dual = jnp.max(dual_diag_last, axis=1).reshape(B * N)
         max_joint = jnp.max(joint_diag_last, axis=1).reshape(B * N)
         max_dual = jax.lax.stop_gradient(max_dual)

@@ -250,9 +250,13 @@ class TemporalAligner(nn.Module):
 
         video_norm = l2_normalize(video_out)
         text_norm = l2_normalize(lang_raw)
-        logits_dual = jnp.einsum(
-            "astc,bkc->astbk", video_norm, text_norm, preferred_element_type=jnp.float32
-        )
+        if not cfg.fused_milnce:
+            logits_dual = jnp.einsum(
+                "astc,bkc->astbk",
+                video_norm,
+                text_norm,
+                preferred_element_type=jnp.float32,
+            )
 
         if cfg.use_text_pos_enc:
             lang_with_time = self.get_textual_feature_with_time(
@@ -271,6 +275,20 @@ class TemporalAligner(nn.Module):
         )
         joint_video_norm = l2_normalize(joint_video)
         joint_text_norm = l2_normalize(joint_text)
+        if cfg.fused_milnce:
+            # the fused-loss contract: hand per-layer normalized features to
+            # losses/tan_loss.py, which computes the cross-batch logsumexps in
+            # the Pallas kernel — the [B,S,T,B,N] tensors never materialize
+            out: Dict[str, jnp.ndarray] = {
+                "dual_feature_video": video_norm,
+                "dual_feature_text": text_norm,
+                "joint_feature_video": joint_video_norm,
+                "joint_feature_text": joint_text_norm,
+            }
+            if cfg.use_alignability_head:
+                out["dual_logits_alignability"] = self.binary_head(lang_raw)
+                out["joint_logits_alignability"] = self.binary_head(joint_text)
+            return out
         logits_joint = jnp.einsum(
             "astc,bskc->astbk",
             joint_video_norm,
@@ -278,7 +296,7 @@ class TemporalAligner(nn.Module):
             preferred_element_type=jnp.float32,
         )
 
-        out: Dict[str, jnp.ndarray] = {
+        out = {
             "logits_dual": logits_dual,
             "logits_joint": logits_joint,
         }

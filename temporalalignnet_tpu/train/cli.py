@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_alignability_head", type=int, default=0)
     p.add_argument("--video_embed_dim", type=int, default=1024)
     # loss (train/config.py:21-30)
+    p.add_argument("--fused_milnce", type=int, default=0,
+                   help="1 = fused sim+masked-logsumexp MIL-NCE Pallas kernel "
+                        "(measured +4%% steps/s single-chip; keep 0 under a "
+                        "multi-chip mesh — kernel is not GSPMD-partitionable)")
     p.add_argument("--loss_threshold", type=float, default=0.0)
     p.add_argument("--learn_agreement", type=int, default=0)
     p.add_argument("--temporal_agreement_type", default="keep",
@@ -167,6 +171,7 @@ def main(argv: Optional[list] = None) -> dict:
         AverageMeter,
         MetricsWriter,
         ProgressMeter,
+        StepBreakdown,
         StepTimer,
         device_memory_stats,
         trace,
@@ -188,6 +193,7 @@ def main(argv: Optional[list] = None) -> dict:
         pos_enc=args.pos_enc,
         use_text_pos_enc=bool(args.use_text_pos_enc),
         use_alignability_head=bool(args.use_alignability_head),
+        fused_milnce=bool(args.fused_milnce),
     )
     loss_cfg = LossConfig(
         model=args.model,
@@ -197,6 +203,7 @@ def main(argv: Optional[list] = None) -> dict:
         loss_threshold=args.loss_threshold,
         use_alignability_head=bool(args.use_alignability_head),
         optim_policy=args.optim_policy,
+        use_fused_milnce=bool(args.fused_milnce),
     )
     dcfg = DataConfig(
         seq_len=args.seq_len,
@@ -258,6 +265,12 @@ def main(argv: Optional[list] = None) -> dict:
         f.write(json.dumps(vars(args)) + "\n")
 
     mesh = make_mesh(args.dp, args.tp) if jax.device_count() > 1 else None
+    if mesh is not None and args.fused_milnce:
+        raise SystemExit(
+            "--fused_milnce is single-chip only (the Pallas kernel is not "
+            "GSPMD-partitionable over the cross-batch axes); drop it or run "
+            "on one device"
+        )
     model = TANWithText(
         mcfg, vocab_size=tokenizer.vocab_size, dtype=jnp.bfloat16
         if jax.default_backend() == "tpu" else jnp.float32,
@@ -427,6 +440,7 @@ def main(argv: Optional[list] = None) -> dict:
     step_fn = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
     writer = MetricsWriter(exp_dir)
     timer = StepTimer()
+    breakdown = StepBreakdown()
 
     loss_meter = AverageMeter("loss", ":.4f")
     data_meter = AverageMeter("data", ":.3f")
@@ -443,18 +457,27 @@ def main(argv: Optional[list] = None) -> dict:
                                      prefix=f"Epoch {epoch} ")
             t_data = time.perf_counter()
             for it, batch in enumerate(loader):
-                data_meter.update(time.perf_counter() - t_data)
+                dt_data = time.perf_counter() - t_data
+                data_meter.update(dt_data)
+                breakdown.add("data", dt_data)
                 batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k not in ("cut_start", "cut_end")}
-                state, metrics = step_fn(state, batch)
+                with breakdown.measure("dispatch"):
+                    state, metrics = step_fn(state, batch)
                 global_step += 1
-                loss = float(metrics["loss"])
+                # the scalar fetch fences the device step; its duration is the
+                # device-bound share of the iteration (StepBreakdown docstring)
+                with breakdown.measure("fence"):
+                    loss = float(metrics["loss"])
                 if np.isfinite(loss):  # NaN excluded from meters (main.py:108-109)
                     loss_meter.update(loss)
                 sps = timer.tick()
                 if global_step % args.log_every == 0:
                     scalars = {k: float(v) for k, v in metrics.items()}
                     scalars["device/sps"] = sps
+                    scalars.update(
+                        {f"device/{k}": v for k, v in breakdown.snapshot().items()}
+                    )
                     scalars.update(
                         {f"device/{k}": v for k, v in device_memory_stats().items()}
                     )

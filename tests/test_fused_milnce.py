@@ -1,0 +1,152 @@
+"""Fused MIL-NCE Pallas kernel: parity vs the materialized-logits loss path.
+
+Kernel-level checks run the exact kernel code (interpret mode on CPU) against
+the jnp logsumexp oracle; train-path checks prove a full train step with
+ModelConfig.fused_milnce + LossConfig.use_fused_milnce reproduces the standard
+path's loss, metrics, and parameter updates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from temporalalignnet_tpu.core.config import LossConfig, ModelConfig, TrainConfig
+from temporalalignnet_tpu.data.synthetic import synthetic_batch
+from temporalalignnet_tpu.models.net import TANWithText
+from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_elements
+from temporalalignnet_tpu.train.train_step import create_train_state, make_train_step
+
+MV = -6.0e4
+INV_TEMP = 1.0 / 0.07
+
+
+def _oracle(v, t, pm, cv, inv_temp):
+    """losses/tan_loss.py::_milnce_components math on materialized logits."""
+    flat = jnp.einsum("src,skc->srk", v, t, preferred_element_type=jnp.float32)
+    flat = flat * inv_temp
+    pos = jnp.where(pm[None], flat, MV)
+    neg = jnp.where(cv[None, None], flat, MV)
+    return (
+        jax.nn.logsumexp(neg, -1) - jax.nn.logsumexp(pos, -1),
+        jax.nn.logsumexp(neg, -2) - jax.nn.logsumexp(pos, -2),
+    )
+
+
+def _random_problem(rng, S=3, R=16, K=12, C=32):
+    v = jnp.asarray(rng.randn(S, R, C), jnp.float32)
+    t = jnp.asarray(rng.randn(S, K, C), jnp.float32)
+    pm = jnp.asarray(rng.rand(R, K) < 0.2)
+    cv = jnp.asarray(rng.rand(K) < 0.8)
+    return v, t, pm & cv[None], cv
+
+
+class TestKernel:
+    def test_forward_matches_oracle(self, rng):
+        v, t, pm, cv = _random_problem(rng)
+        rv, rt = _oracle(v, t, pm, cv, INV_TEMP)
+        fv, ft = fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+        np.testing.assert_allclose(np.asarray(fv), np.asarray(rv), atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ft), np.asarray(rt), atol=2e-5, rtol=1e-5)
+
+    def test_forward_fully_masked_row(self, rng):
+        """Rows with zero positives stay finite (mask_value semantics)."""
+        v, t, pm, cv = _random_problem(rng)
+        pm = pm.at[3].set(False)
+        rv, _ = _oracle(v, t, pm, cv, INV_TEMP)
+        fv, _ = fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+        assert np.isfinite(np.asarray(fv)).all()
+        np.testing.assert_allclose(np.asarray(fv), np.asarray(rv), atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("shared_text", [False, True])
+    def test_grad_matches_oracle(self, rng, shared_text):
+        """Custom-VJP backward kernel vs XLA autodiff, incl. the zero-gradient
+        routing of where() for fully-masked rows and the shared-text sum."""
+        v, t, pm, cv = _random_problem(rng)
+        pm = pm.at[3].set(False)  # one fully-masked row
+        if shared_text:
+            t = t[0]
+        w1 = jnp.asarray(rng.randn(3, 16), jnp.float32)
+        w2 = jnp.asarray(rng.randn(3, 12), jnp.float32)
+
+        def loss_ref(v, t):
+            tt = jnp.broadcast_to(t[None], (3,) + t.shape) if shared_text else t
+            a, b = _oracle(v, tt, pm, cv, INV_TEMP)
+            return jnp.sum(a * w1) + jnp.sum(b * w2)
+
+        def loss_fused(v, t):
+            a, b = fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+            return jnp.sum(a * w1) + jnp.sum(b * w2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(v, t)
+        gf = jax.grad(loss_fused, argnums=(0, 1))(v, t)
+        for a, b, name in zip(gr, gf, ["dv", "dt"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3, err_msg=name
+            )
+
+
+TINY = dict(
+    width=64, heads=4, num_encoder_layers=2, num_joint_layers=2,
+    video_embed_dim=48, num_pos_embeds=128,
+)
+
+
+def _paired_setup(loss_kw, seed=0):
+    """Two models differing only in the fused flag, identical params."""
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(
+        rng, batch_size=4, seq_len=32, max_sentences=4,
+        feature_dim=TINY["video_embed_dim"], vocab_size=50, max_words=8,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    states, steps = [], []
+    for fused in (False, True):
+        loss_cfg = LossConfig(use_fused_milnce=fused, **loss_kw)
+        mcfg = ModelConfig(
+            use_alignability_head=loss_cfg.use_alignability_head,
+            fused_milnce=fused, **TINY,
+        )
+        model = TANWithText(mcfg, vocab_size=51)
+        tcfg = TrainConfig(lr=1e-3, warmup_iterations=2, total_iterations=100)
+        state, tx = create_train_state(model, tcfg, loss_cfg, batch, seed=seed)
+        states.append(state)
+        steps.append(make_train_step(model, tx, tcfg, loss_cfg))
+    return states, steps, batch
+
+
+class TestTrainPathParity:
+    @pytest.mark.parametrize(
+        "loss_kw",
+        [
+            {},  # Stage-1 init
+            dict(  # Stage-2 cotrain: agreement + threshold + head
+                model="cotrain",
+                learn_agreement=True,
+                temporal_agreement_type="keep",
+                loss_threshold=0.5,
+                use_alignability_head=True,
+            ),
+        ],
+        ids=["init", "cotrain"],
+    )
+    def test_step_matches_standard_path(self, loss_kw):
+        (s_std, s_fused), (step_std, step_fused), batch = _paired_setup(loss_kw)
+        for _ in range(2):
+            s_std, m_std = step_std(s_std, batch)
+            s_fused, m_fused = step_fused(s_fused, batch)
+        assert abs(float(m_std["loss"]) - float(m_fused["loss"])) < 2e-4, (
+            float(m_std["loss"]), float(m_fused["loss"]),
+        )
+        for k in m_std:
+            np.testing.assert_allclose(
+                float(m_fused[k]), float(m_std[k]), atol=5e-4, rtol=1e-3,
+                err_msg=k,
+            )
+        flat_std = jax.tree_util.tree_leaves_with_path(s_std.params)
+        flat_fused = jax.tree_util.tree_leaves(s_fused.params)
+        for (path, a), b in zip(flat_std, flat_fused):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3,
+                err_msg=jax.tree_util.keystr(path),
+            )
