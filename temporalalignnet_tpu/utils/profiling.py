@@ -36,6 +36,52 @@ class StepTimer:
         return self.last_sps
 
 
+class StepBreakdown:
+    """Device duty-cycle telemetry for an async-dispatch train loop.
+
+    The reference's GPUStatsMonitor polls nvidia-smi for utilization/duty
+    cycle (utils/tensorboard_utils.py:9-73).  There is no nvidia-smi for a
+    TPU behind a tunnel, but the train loop fences every step on a scalar
+    device->host fetch of the loss, so each iteration's wall time decomposes
+    exactly into:
+
+    - ``data``: waiting on the host input pipeline (device idle),
+    - ``dispatch``: python/jit dispatch of the step (device mostly idle),
+    - ``fence``: blocked on the device finishing the step (device busy),
+    - ``other``: logging / checkpoint / python glue (device idle).
+
+    ``fence / wall`` is a direct duty-cycle lower bound; ``data / wall`` is
+    the starvation signal the reference's utilization graph is used for.
+    """
+
+    def __init__(self):
+        self._acc = {"data": 0.0, "dispatch": 0.0, "fence": 0.0}
+        self._t0 = time.perf_counter()
+
+    def add(self, kind: str, seconds: float) -> None:
+        self._acc[kind] += seconds
+
+    @contextlib.contextmanager
+    def measure(self, kind: str) -> Iterator[None]:
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add(kind, time.perf_counter() - t)
+
+    def snapshot(self) -> dict:
+        """Percentages since the last snapshot; resets the window."""
+        now = time.perf_counter()
+        wall = max(now - self._t0, 1e-9)
+        out = {f"{k}_pct": 100.0 * v / wall for k, v in self._acc.items()}
+        out["other_pct"] = max(0.0, 100.0 - sum(out.values()))
+        out["duty_pct"] = out["fence_pct"]
+        for k in self._acc:
+            self._acc[k] = 0.0
+        self._t0 = now
+        return out
+
+
 @contextlib.contextmanager
 def trace(logdir: Optional[str]) -> Iterator[None]:
     """jax.profiler trace context; no-op when logdir is falsy."""

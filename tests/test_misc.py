@@ -76,6 +76,36 @@ class TestMeters:
         assert cm.accuracy() == pytest.approx(0.75)
 
 
+class TestStepBreakdown:
+    def test_percentages_and_reset(self):
+        import time as time_mod
+
+        from temporalalignnet_tpu.utils.profiling import StepBreakdown
+
+        bd = StepBreakdown()
+        with bd.measure("data"):
+            time_mod.sleep(0.01)
+        with bd.measure("dispatch"):
+            time_mod.sleep(0.01)
+        with bd.measure("fence"):
+            time_mod.sleep(0.05)
+        snap = bd.snapshot()
+        assert set(snap) == {
+            "data_pct", "dispatch_pct", "fence_pct", "other_pct", "duty_pct",
+        }
+        # fence dominated this window -> duty proxy reflects it
+        assert snap["duty_pct"] == snap["fence_pct"] > 30.0
+        assert snap["data_pct"] > 0 and snap["dispatch_pct"] > 0
+        total = (
+            snap["data_pct"] + snap["dispatch_pct"] + snap["fence_pct"]
+            + snap["other_pct"]
+        )
+        assert total == pytest.approx(100.0, abs=1e-6)
+        # window resets
+        snap2 = bd.snapshot()
+        assert snap2["fence_pct"] == 0.0
+
+
 class TestVis:
     def test_second_to_time_and_link(self):
         from temporalalignnet_tpu.utils.vis import get_youtube_link, second_to_time
