@@ -64,22 +64,54 @@ def filter_chunks(paths, jobs: int = 8) -> list:
         return list(pool.map(filter_chunk, paths))
 
 
-def sentencify_chunk(chunk_path: str, sentencifier) -> str:
+def _prepare_chunk(chunk_path: str) -> list:
+    """Host-side regrouping for one chunk: load + merge_linebreaks per video.
+    Pure CPU/IO — safe to run ahead of the punctuator."""
     with open(chunk_path) as f:
         chunk = json.load(f)
-    out_dict: Dict[str, Dict] = {}
+    prepared = []
     for vid, item in chunk.items():
         caps, starts, ends = merge_linebreaks(
             item["text"], item["start"], item["end"]
         )
-        if not caps:
-            continue
+        if caps:
+            prepared.append((vid, caps, starts, ends))
+    return prepared
+
+
+def _punctuate_prepared(prepared: list, sentencifier, chunk_path: str) -> str:
+    out_dict: Dict[str, Dict] = {}
+    for vid, caps, starts, ends in prepared:
         caps, starts, ends = sentencifier.punctuate_and_cut(caps, starts, ends)
         out_dict[vid] = {"text": caps, "start": starts, "end": ends}
     out = chunk_path.replace("filtered_chunk", "sentencified_chunk")
     with open(out, "w") as f:
         json.dump(out_dict, f)
     return out
+
+
+def sentencify_chunk(chunk_path: str, sentencifier) -> str:
+    return _punctuate_prepared(_prepare_chunk(chunk_path), sentencifier, chunk_path)
+
+
+def sentencify_chunks(paths, sentencifier, prefetch: int = 2) -> list:
+    """Step 3 with pipelining: while the punctuator model runs on chunk i, a
+    thread pool loads + regroups chunks i+1..i+prefetch.  This is the
+    TPU-native equivalent of the reference overlapping host regrouping with
+    BERT inference via DataLoader workers
+    (sentencify_text/process_htm.py:124-156)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    outs = []
+    with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
+        futures = {p: pool.submit(_prepare_chunk, p) for p in paths[:prefetch]}
+        for i, path in enumerate(paths):
+            for nxt in paths[i + 1 : i + 1 + prefetch]:
+                if nxt not in futures:
+                    futures[nxt] = pool.submit(_prepare_chunk, nxt)
+            prepared = futures.pop(path).result()
+            outs.append(_punctuate_prepared(prepared, sentencifier, path))
+    return outs
 
 
 def main(argv=None):
@@ -111,7 +143,7 @@ def main(argv=None):
             convert_tokens_to_ids = predict = tokenize
 
         sent = Sentencify(_NoPunct())
-    outs = [sentencify_chunk(c, sent) for c in filtered]
+    outs = sentencify_chunks(filtered, sent, prefetch=min(args.jobs, 4))
     print(f"step 3: wrote {outs}")
     return outs
 

@@ -189,6 +189,38 @@ class TestPipeline:
             assert len(item["text"]) == len(item["start"]) == len(item["end"])
             assert len(item["text"]) >= 1
 
+    def test_sentencify_chunks_prefetched_matches_serial(self, tmp_path):
+        """Step-3 pipelining (prepare threads + serial punctuator) produces
+        byte-identical chunk files, in order."""
+        from temporalalignnet_tpu.tools.process_htm import (
+            filter_chunks,
+            sentencify_chunk,
+            sentencify_chunks,
+            split_chunks,
+        )
+
+        caps = ["now we are going to cut the onion into pieces today"] * 15
+        raw = {
+            f"v{i}": {
+                "text": caps,
+                "start": [float(j) for j in range(15)],
+                "end": [float(j + 1) for j in range(15)],
+            }
+            for i in range(6)
+        }
+        p = tmp_path / "raw_caption.json"
+        p.write_text(json.dumps(raw))
+        filtered = filter_chunks(split_chunks(str(p), str(tmp_path), 3), jobs=2)
+
+        outs = sentencify_chunks(filtered, Sentencify(FakePunctuator()), prefetch=2)
+        assert [o.replace("sentencified", "filtered") for o in outs] == filtered
+        pipelined = [json.load(open(o)) for o in outs]
+        serial = [
+            json.load(open(sentencify_chunk(f, Sentencify(FakePunctuator()))))
+            for f in filtered
+        ]
+        assert pipelined == serial
+
 
 class TestExtractor:
     def test_resumable_extraction(self, tmp_path, rng):
