@@ -22,7 +22,12 @@ import time
 
 import numpy as np
 
-B = 256  # windows per jit call (measured best on v5e: 12.3k w/s vs 11.5k at 128)
+# windows per jit call.  Swept on v5e (see IMPLEMENTATION_STATUS.md): 13.6k w/s
+# at 192 vs 12.9k at 256; above ~384 XLA stops fusing the joint-encoder
+# attention probabilities ([B,H,72,72] fp32 > ~50 MB) and throughput drops to
+# 10.3k at 512 (the Pallas attention kernel restores 13.1k there — use it for
+# window batches >= 512).
+B = int(os.environ.get("TAN_BENCH_B", "192"))
 T = 64
 CV = 1024
 N = 8  # sentences per window
