@@ -100,6 +100,7 @@ def get_loss(
     outputs: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],
     cfg: LossConfig,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     inv_temp = 1.0 / cfg.temperature if cfg.sim == "cos" else 1.0  # loss.py:65-70
     fused = cfg.use_fused_milnce
@@ -183,12 +184,12 @@ def get_loss(
         v_el_dual, t_el_dual = fused_milnce_elements(
             vfd.transpose(1, 0, 2, 3).reshape(S, B * T, -1),
             tfd.reshape(B * N, -1),
-            pos_mask, col_valid, mv, inv_temp,
+            pos_mask, col_valid, mv, inv_temp, mesh=mesh,
         )
         v_el_joint, t_el_joint = fused_milnce_elements(
             vfj.transpose(1, 0, 2, 3).reshape(S, B * T, -1),
             tfj.transpose(1, 0, 2, 3).reshape(S, B * N, -1),
-            pos_mask, col_valid, mv, inv_temp,
+            pos_mask, col_valid, mv, inv_temp, mesh=mesh,
         )
         row_mask = jnp.sum(pos_mask, axis=-1) > 0
         col_mask = jnp.sum(pos_mask, axis=-2) > 0

@@ -9,11 +9,16 @@ Two paths:
 - ``_attention_xla``: plain jnp; XLA fuses this well at the reference's tiny
   shapes (T=64 dual, T+N<=96 joint).
 - ``fused_attention``: Pallas TPU kernel (grouped windows x heads per grid step,
-  scores+softmax+PV in VMEM).  Bit-exact vs the XLA path on TPU hardware, but
-  measured ~8% SLOWER end-to-end at TAN shapes (S<=96, D=64): XLA's own fusion
-  already keeps the probability tensor on-chip here.  Kept as an opt-in
-  (use_pallas=True) for larger variants where the [B,H,S,S] intermediate stops
-  fitting XLA's fusion budget.  See temporalalignnet_tpu/ops/pallas_attention.py.
+  scores+softmax+PV in VMEM) with a custom-VJP backward kernel, so it is legal
+  in training.  Bit-exact vs the XLA path on TPU hardware.  Measured (v5e):
+  ~8% SLOWER at TAN shapes with window batches <= 384 — XLA's own fusion keeps
+  the probability tensor on-chip there — but at flat window batches >= 512 the
+  joint encoder's [B,H,72,72] fp32 probs (>~50 MB) exceed XLA's fusion budget
+  and spill to HBM: the kernel then wins big (10.3k -> 13.1k eval windows/s at
+  B=512).  The vmapped corpus-eval canvas is NOT attention-bound (XLA 5.1 s vs
+  pallas 5.8 s per 80-video corpus), so XLA stays the default everywhere;
+  enable use_pallas for flat-batched eval at B >= 512.
+  See temporalalignnet_tpu/ops/pallas_attention.py.
 """
 
 from __future__ import annotations

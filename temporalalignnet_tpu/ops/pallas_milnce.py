@@ -76,7 +76,7 @@ def _row_lse(x):
 
 def _milnce_fwd_kernel(
     v_ref, t_ref, pm_ref, cv_ref,
-    vnum_ref, vden_ref, tnum_ref, tden_ref,
+    vnum_ref, vden_ref, mp_ref, sp_ref, mn_ref, sn_ref,
     m_pos, s_pos, m_neg, s_neg,
     *, inv_temp: float, mask_value: float, nrb: int,
 ):
@@ -91,7 +91,10 @@ def _milnce_fwd_kernel(
     vnum_ref[0, 0, 0] = _row_lse(pos)
     vden_ref[0, 0, 0] = _row_lse(neg)
 
-    # column direction: streaming (max, sum) recurrence across row blocks
+    # column direction: streaming (max, sum) recurrence across row blocks.
+    # The kernel emits the raw (m, s) pair — the wrapper composes
+    # lse = m + log(s) single-chip, or merges partials across devices
+    # (pmax/psum) when rows are sharded over a mesh axis.
     bm_p = jnp.max(pos, axis=0)  # [K]
     bs_p = jnp.sum(jnp.exp(pos - bm_p[None, :]), axis=0)
     bm_n = jnp.max(neg, axis=0)
@@ -113,8 +116,8 @@ def _milnce_fwd_kernel(
 
     @pl.when(rb == nrb - 1)
     def _write():
-        tnum_ref[0, 0] = m_pos[0] + jnp.log(s_pos[0])
-        tden_ref[0, 0] = m_neg[0] + jnp.log(s_neg[0])
+        mp_ref[0, 0], sp_ref[0, 0] = m_pos[0], s_pos[0]
+        mn_ref[0, 0], sn_ref[0, 0] = m_neg[0], s_neg[0]
 
 
 def _milnce_bwd_kernel(
@@ -213,7 +216,7 @@ def _fwd_call(v, t, pm, cv, interpret, inv_temp, mask_value, br):
     col_out = lambda: pl.BlockSpec(
         (1, 1, K), lambda s, rb: (s, 0, 0), memory_space=pltpu.VMEM
     )
-    vnum, vden, tnum, tden = pl.pallas_call(
+    vnum, vden, mp, sp, mn, sn = pl.pallas_call(
         kern,
         grid=(S, nrb),
         in_specs=[
@@ -222,10 +225,12 @@ def _fwd_call(v, t, pm, cv, interpret, inv_temp, mask_value, br):
             pl.BlockSpec((br, K), lambda s, rb: (rb, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda s, rb: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(row_out(), row_out(), col_out(), col_out()),
+        out_specs=(row_out(), row_out(), col_out(), col_out(), col_out(), col_out()),
         out_shape=(
             jax.ShapeDtypeStruct((S, nrb, 1, br), f32),
             jax.ShapeDtypeStruct((S, nrb, 1, br), f32),
+            jax.ShapeDtypeStruct((S, 1, K), f32),
+            jax.ShapeDtypeStruct((S, 1, K), f32),
             jax.ShapeDtypeStruct((S, 1, K), f32),
             jax.ShapeDtypeStruct((S, 1, K), f32),
         ),
@@ -240,8 +245,10 @@ def _fwd_call(v, t, pm, cv, interpret, inv_temp, mask_value, br):
     return (
         vnum.reshape(S, R),
         vden.reshape(S, R),
-        tnum.reshape(S, K),
-        tden.reshape(S, K),
+        mp.reshape(S, K),
+        sp.reshape(S, K),
+        mn.reshape(S, K),
+        sn.reshape(S, K),
     )
 
 
@@ -307,7 +314,12 @@ def _milnce_core(interpret: bool, inv_temp: float, mask_value: float,
 
 def _milnce_core_fwd(interpret, inv_temp, mask_value, v, t, pm, cv):
     br = _pick_row_block(v.shape[1], t.shape[1], v.shape[2], v.dtype.itemsize, False)
-    out = _fwd_call(v, t, pm, cv, interpret, inv_temp, mask_value, br)
+    vnum, vden, mp, sp, mn, sn = _fwd_call(
+        v, t, pm, cv, interpret, inv_temp, mask_value, br
+    )
+    tnum = mp + jnp.log(sp)
+    tden = mn + jnp.log(sn)
+    out = (vnum, vden, tnum, tden)
     return out, (v, t, pm, cv, out)
 
 
@@ -326,6 +338,94 @@ def _milnce_core_bwd(interpret, inv_temp, mask_value, res, g):
 _milnce_core.defvjp(_milnce_core_fwd, _milnce_core_bwd)
 
 
+# --------------------------------------------------------------- sharded core
+#
+# Multi-chip variant: rows (the flattened B*T window axis) arrive sharded over
+# a mesh axis; text columns arrive sharded over the same axis (batch dim).
+# Per shard_map block:
+#   fwd: all-gather text -> local kernel over local rows x ALL columns ->
+#        row lse is purely local; column lse merges the per-device (m, s)
+#        streaming partials with pmax + psum (the same recurrence the kernel
+#        runs across row blocks, lifted to the mesh axis).
+#   bwd: local backward kernel (global tnum/tden ride in the residuals;
+#        cotangents of the replicated t_el are replicated) -> dv stays local,
+#        dt partials reduce-scatter back to each device's column shard.
+# This is the NCCL-allreduce-free TPU shape of the reference's DDP global
+# in-batch negatives (train/main.py DDP + loss.py:240-275).
+
+
+def _sharded_milnce(mesh, axis, interpret, inv_temp, mask_value, v, t, pm, cv):
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.shape[axis]
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def core(v, t, pm, cv):
+        out, _ = core_fwd(v, t, pm, cv)
+        return out
+
+    def local_fwd(v_l, t_l, pm_l, cv_g):
+        t_g = jax.lax.all_gather(t_l, axis, axis=1, tiled=True)
+        br = _pick_row_block(
+            v_l.shape[1], t_g.shape[1], v_l.shape[2], v_l.dtype.itemsize, False
+        )
+        vnum, vden, mp, sp, mn, sn = _fwd_call(
+            v_l, t_g, pm_l, cv_g, interpret, inv_temp, mask_value, br
+        )
+        # merge the streaming-lse partials across devices
+        gmp = jax.lax.pmax(mp, axis)
+        gmn = jax.lax.pmax(mn, axis)
+        tnum = gmp + jnp.log(jax.lax.psum(sp * jnp.exp(mp - gmp), axis))
+        tden = gmn + jnp.log(jax.lax.psum(sn * jnp.exp(mn - gmn), axis))
+        return vnum, vden, tnum, tden
+
+    def local_bwd(v_l, t_l, pm_l, cv_g, vnum, vden, tnum, tden,
+                  gvn, gvd, gtn, gtd):
+        t_g = jax.lax.all_gather(t_l, axis, axis=1, tiled=True)
+        br = _pick_row_block(
+            v_l.shape[1], t_g.shape[1], v_l.shape[2], v_l.dtype.itemsize, True
+        )
+        dv, dt_part = _bwd_call(
+            v_l, t_g, pm_l, cv_g, vnum, vden, tnum, tden,
+            gvn, gvd, gtn, gtd, interpret, inv_temp, mask_value, br,
+        )
+        # dt_part sums this device's rows only; reduce-scatter the global sum
+        # back to each device's own column shard
+        dt = jax.lax.psum_scatter(dt_part, axis, scatter_dimension=1, tiled=True)
+        return dv, dt
+
+    shmap = functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False
+    )
+    row_spec = P(None, axis)
+    t_spec = P(None, axis, None)
+
+    def core_fwd(v, t, pm, cv):
+        out = shmap(
+            local_fwd,
+            in_specs=(P(None, axis, None), t_spec, P(axis, None), P(None, None)),
+            out_specs=(row_spec, row_spec, P(None, None), P(None, None)),
+        )(v, t, pm, cv)
+        return out, (v, t, pm, cv, out)
+
+    def core_bwd(res, g):
+        v, t, pm, cv, (vnum, vden, tnum, tden) = res
+        gvn, gvd, gtn, gtd = g
+        dv, dt = shmap(
+            local_bwd,
+            in_specs=(
+                P(None, axis, None), t_spec, P(axis, None), P(None, None),
+                row_spec, row_spec, P(None, None), P(None, None),
+                row_spec, row_spec, P(None, None), P(None, None),
+            ),
+            out_specs=(P(None, axis, None), t_spec),
+        )(v, t, pm, cv, vnum, vden, tnum, tden, gvn, gvd, gtn, gtd)
+        return dv, dt, jnp.zeros_like(pm), jnp.zeros_like(cv)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(v, t, pm, cv)
+
+
 def fused_milnce_elements(
     video: jnp.ndarray,  # [S, R, C] per-layer L2-normalized video features
     text: jnp.ndarray,  # [S, K, C] (joint) or [K, C] (dual, shared over layers)
@@ -333,12 +433,19 @@ def fused_milnce_elements(
     col_valid: jnp.ndarray,  # [K] bool — non-padded text columns
     mask_value: float,
     inv_temp: float = 1.0,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-direction MIL-NCE loss elements without materializing the logits.
 
     Returns (v_el [S, R], t_el [S, K]) == the (v_den - v_num, t_den - t_num) of
     losses/tan_loss.py::_milnce_components on logits = inv_temp * video @ text^T.
     Differentiable w.r.t. both feature tensors.
+
+    With ``mesh`` (and the batch sharded over ``data_axis``), the kernel runs
+    per-device on local rows via shard_map; column logsumexps merge across
+    devices (pmax/psum of the streaming partials) and the text gradient
+    reduce-scatters — global in-batch negatives without the logits tensor.
     """
     if text.ndim == 2:
         # dual branch: one text tower output shared across layers; broadcast_to
@@ -347,7 +454,13 @@ def fused_milnce_elements(
     interpret = jax.default_backend() != "tpu"
     pm = pos_mask.astype(jnp.float32)
     cv = col_valid.astype(jnp.float32)[None, :]
-    vnum, vden, tnum, tden = _milnce_core(
-        interpret, float(inv_temp), float(mask_value), video, text, pm, cv
-    )
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        vnum, vden, tnum, tden = _sharded_milnce(
+            mesh, data_axis, interpret, float(inv_temp), float(mask_value),
+            video, text, pm, cv,
+        )
+    else:
+        vnum, vden, tnum, tden = _milnce_core(
+            interpret, float(inv_temp), float(mask_value), video, text, pm, cv
+        )
     return vden - vnum, tden - tnum

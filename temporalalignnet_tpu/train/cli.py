@@ -57,8 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     # loss (train/config.py:21-30)
     p.add_argument("--fused_milnce", type=int, default=0,
                    help="1 = fused sim+masked-logsumexp MIL-NCE Pallas kernel "
-                        "(measured +4%% steps/s single-chip; keep 0 under a "
-                        "multi-chip mesh — kernel is not GSPMD-partitionable)")
+                        "(measured +4%% Stage-1 / +16%% Stage-2 steps/s; under "
+                        "a multi-chip mesh it runs per-device via shard_map "
+                        "with pmax/psum column-lse merge)")
     p.add_argument("--loss_threshold", type=float, default=0.0)
     p.add_argument("--learn_agreement", type=int, default=0)
     p.add_argument("--temporal_agreement_type", default="keep",
@@ -265,12 +266,6 @@ def main(argv: Optional[list] = None) -> dict:
         f.write(json.dumps(vars(args)) + "\n")
 
     mesh = make_mesh(args.dp, args.tp) if jax.device_count() > 1 else None
-    if mesh is not None and args.fused_milnce:
-        raise SystemExit(
-            "--fused_milnce is single-chip only (the Pallas kernel is not "
-            "GSPMD-partitionable over the cross-batch axes); drop it or run "
-            "on one device"
-        )
     model = TANWithText(
         mcfg, vocab_size=tokenizer.vocab_size, dtype=jnp.bfloat16
         if jax.default_backend() == "tpu" else jnp.float32,

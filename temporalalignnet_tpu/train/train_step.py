@@ -138,7 +138,7 @@ def make_train_step(
                         for k, v in ema_out.items()
                     },
                 )
-            return get_loss(outputs, batch, loss_cfg)
+            return get_loss(outputs, batch, loss_cfg, mesh=mesh)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

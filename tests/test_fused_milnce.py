@@ -95,7 +95,7 @@ TINY = dict(
 )
 
 
-def _paired_setup(loss_kw, seed=0):
+def _paired_setup(loss_kw, seed=0, mesh=None):
     """Two models differing only in the fused flag, identical params."""
     rng = np.random.RandomState(0)
     batch = synthetic_batch(
@@ -103,6 +103,10 @@ def _paired_setup(loss_kw, seed=0):
         feature_dim=TINY["video_embed_dim"], vocab_size=50, max_words=8,
     )
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if mesh is not None:
+        from temporalalignnet_tpu.train.train_step import shard_batch
+
+        batch = shard_batch(batch, mesh)
     states, steps = [], []
     for fused in (False, True):
         loss_cfg = LossConfig(use_fused_milnce=fused, **loss_kw)
@@ -112,9 +116,10 @@ def _paired_setup(loss_kw, seed=0):
         )
         model = TANWithText(mcfg, vocab_size=51)
         tcfg = TrainConfig(lr=1e-3, warmup_iterations=2, total_iterations=100)
-        state, tx = create_train_state(model, tcfg, loss_cfg, batch, seed=seed)
+        state, tx = create_train_state(model, tcfg, loss_cfg, batch, seed=seed,
+                                       mesh=mesh)
         states.append(state)
-        steps.append(make_train_step(model, tx, tcfg, loss_cfg))
+        steps.append(make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh))
     return states, steps, batch
 
 
@@ -141,6 +146,38 @@ class TestTrainPathParity:
         assert abs(float(m_std["loss"]) - float(m_fused["loss"])) < 2e-4, (
             float(m_std["loss"]), float(m_fused["loss"]),
         )
+        for k in m_std:
+            np.testing.assert_allclose(
+                float(m_fused[k]), float(m_std[k]), atol=5e-4, rtol=1e-3,
+                err_msg=k,
+            )
+        flat_std = jax.tree_util.tree_leaves_with_path(s_std.params)
+        flat_fused = jax.tree_util.tree_leaves(s_fused.params)
+        for (path, a), b in zip(flat_std, flat_fused):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_sharded_step_matches_standard_path(self):
+        """dp4 mesh: the shard_map fused kernel (local rows, all-gathered text,
+        pmax/psum column-lse merge, reduce-scattered text grad) reproduces the
+        standard GSPMD logits path — global in-batch negatives included."""
+        if jax.device_count() < 4:
+            pytest.skip("needs the forced multi-device CPU mesh")
+        from temporalalignnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(4, 1)
+        loss_kw = dict(
+            model="cotrain", learn_agreement=True, loss_threshold=0.5,
+            use_alignability_head=True,
+        )
+        (s_std, s_fused), (step_std, step_fused), batch = _paired_setup(
+            loss_kw, mesh=mesh
+        )
+        for _ in range(2):
+            s_std, m_std = step_std(s_std, batch)
+            s_fused, m_fused = step_fused(s_fused, batch)
         for k in m_std:
             np.testing.assert_allclose(
                 float(m_fused[k]), float(m_std[k]), atol=5e-4, rtol=1e-3,
