@@ -33,6 +33,14 @@ CV = 1024
 N = 8  # sentences per window
 W = 32  # words per sentence
 ITERS = 10
+# Batches per dispatch in the default scan mode.  The axon tunnel costs ~3 ms of
+# serial dispatch per jit call (profiles/eval_fwd_b192_v5e.md: 11.1 ms device
+# busy vs 14.0 ms wall) that host-side call pipelining does NOT hide; driving K
+# batches through one lax.scan dispatch amortizes it away: measured on v5e
+# 13.6k w/s per-call -> 16.0k at K=40 -> 16.6k at K=80 (~96% of the 17.3k
+# device-busy roofline).  TAN_BENCH_MODE=percall restores the per-call timing.
+K = int(os.environ.get("TAN_BENCH_K", "80"))
+MODE = os.environ.get("TAN_BENCH_MODE", "scan")
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 
 
@@ -62,8 +70,7 @@ def bench_jax() -> float:
         deterministic=True,
     )["params"]
 
-    @jax.jit
-    def fwd(params, video, input_ids):
+    def one(params, video, input_ids):
         attention_mask = (input_ids != 0).astype(jnp.int32)
         text = model.apply(
             {"params": params}, input_ids, attention_mask, method=TANWithText.encode_text
@@ -76,7 +83,37 @@ def bench_jax() -> float:
     # block_until_ready returns before the device work drains, so a device->host
     # copy of (part of) the result is the only reliable fence.
     def sync(o):
-        np.asarray(o["sim"][:, 0, 0, 0])
+        np.asarray(o["sim"].ravel()[:1])
+
+    if MODE == "scan":
+        # K distinct batches through one dispatch: lax.scan over stacked inputs.
+        video_k = jnp.asarray(rng.randn(K, B, T, CV), jnp.float32)
+        ids_k = jnp.asarray(rng.randint(1, 60000, (K, B, N, W)), jnp.int32)
+
+        @jax.jit
+        def fwd_scan(params, video, input_ids):
+            def body(carry, xs):
+                v, ids = xs
+                return carry, one(params, v, ids)
+
+            _, outs = jax.lax.scan(body, 0, (video, input_ids))
+            return outs
+
+        out = fwd_scan(params, video_k, ids_k)  # compile + warmup
+        sync(out)
+        out = fwd_scan(params, video_k, ids_k)
+        sync(out)
+
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fwd_scan(params, video_k, ids_k)
+            sync(out)
+            dt = time.perf_counter() - t0
+            best = max(best, K * B / dt)
+        return best
+
+    fwd = jax.jit(one)
 
     out = fwd(params, video, input_ids)  # compile + warmup
     sync(out)
