@@ -113,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--yc2_features", default=None)
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--max_steps", type=int, default=0, help="debug: stop after N steps")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per jit dispatch (lax.scan over stacked "
+                        "batches); >1 amortizes per-dispatch tunnel latency + the "
+                        "per-step loss fetch. Save/eval/stop checks fire at "
+                        "dispatch-group boundaries.")
     return p
 
 
@@ -318,12 +323,14 @@ def main(argv: Optional[list] = None) -> dict:
 
     # ---- init / resume / pretrain / test
     rng = np.random.RandomState(args.seed)
+    k_disp = max(1, args.steps_per_dispatch)
     loader = TrainLoader(
         dataset,
         args.batch_size,
         seed=args.seed,
         num_workers=args.num_workers,
-        device_put=make_device_put(mesh) if mesh else None,
+        # grouped dispatch stacks K host batches then device_puts the stack
+        device_put=make_device_put(mesh) if (mesh and k_disp == 1) else None,
     )
     sample = dataset.sample(0, rng)
     sample_batch = {
@@ -432,7 +439,15 @@ def main(argv: Optional[list] = None) -> dict:
             f"(epoch {start_epoch}, batch {start_batch})"
         )
 
-    step_fn = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
+    if k_disp > 1:
+        from temporalalignnet_tpu.train.train_step import (
+            make_multi_train_step,
+            stack_batches,
+        )
+
+        step_fn = make_multi_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
+    else:
+        step_fn = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
     writer = MetricsWriter(exp_dir)
     timer = StepTimer()
     breakdown = StepBreakdown()
@@ -441,6 +456,7 @@ def main(argv: Optional[list] = None) -> dict:
     data_meter = AverageMeter("data", ":.3f")
     final_metrics = {}
     global_step = int(state.step)
+    last_check = global_step
     stop = False
 
     with trace(args.profile_dir):
@@ -451,36 +467,67 @@ def main(argv: Optional[list] = None) -> dict:
             progress = ProgressMeter(len(loader), [loss_meter, data_meter],
                                      prefix=f"Epoch {epoch} ")
             t_data = time.perf_counter()
+            pending = []
+            n_batches = len(loader)
             for it, batch in enumerate(loader):
                 dt_data = time.perf_counter() - t_data
                 data_meter.update(dt_data)
                 breakdown.add("data", dt_data)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                batch = {k: v for k, v in batch.items()
                          if k not in ("cut_start", "cut_end")}
-                with breakdown.measure("dispatch"):
-                    state, metrics = step_fn(state, batch)
-                global_step += 1
-                # the scalar fetch fences the device step; its duration is the
-                # device-bound share of the iteration (StepBreakdown docstring)
-                with breakdown.measure("fence"):
-                    loss = float(metrics["loss"])
-                if np.isfinite(loss):  # NaN excluded from meters (main.py:108-109)
-                    loss_meter.update(loss)
-                sps = timer.tick()
-                if global_step % args.log_every == 0:
-                    scalars = {k: float(v) for k, v in metrics.items()}
-                    scalars["device/sps"] = sps
-                    scalars.update(
-                        {f"device/{k}": v for k, v in breakdown.snapshot().items()}
-                    )
-                    scalars.update(
-                        {f"device/{k}": v for k, v in device_memory_stats().items()}
-                    )
-                    writer.add_scalars(global_step, scalars, prefix="train/")
-                    progress.display(it)
-                if args.runtime_save_iter and global_step % args.runtime_save_iter == 0:
+                if k_disp == 1:
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    with breakdown.measure("dispatch"):
+                        state, metrics = step_fn(state, batch)
+                    # the scalar fetch fences the device step; its duration is
+                    # the device-bound share of the iteration (StepBreakdown)
+                    with breakdown.measure("fence"):
+                        rows = [(metrics, float(metrics["loss"]))]
+                else:
+                    pending.append(batch)
+                    if len(pending) < k_disp and it < n_batches - 1:
+                        t_data = time.perf_counter()
+                        continue
+                    # group dispatch: one lax.scan program runs len(pending)
+                    # optimizer steps; a shorter epoch-tail group is a separate
+                    # (once-per-run) compile
+                    with breakdown.measure("dispatch"):
+                        stacked = stack_batches(pending, mesh)
+                        state, mk = step_fn(state, stacked)
+                    kk = len(pending)
+                    pending = []
+                    with breakdown.measure("fence"):
+                        mk = {k: np.asarray(v) for k, v in mk.items()}
+                    rows = [
+                        ({k: v[i] for k, v in mk.items()}, float(mk["loss"][i]))
+                        for i in range(kk)
+                    ]
+                for metrics, loss in rows:
+                    global_step += 1
+                    if np.isfinite(loss):  # NaN excluded from meters (main.py:108-109)
+                        loss_meter.update(loss)
+                    sps = timer.tick()
+                    if global_step % args.log_every == 0:
+                        scalars = {k: float(v) for k, v in metrics.items()}
+                        scalars["device/sps"] = sps
+                        scalars.update(
+                            {f"device/{k}": v for k, v in breakdown.snapshot().items()}
+                        )
+                        scalars.update(
+                            {f"device/{k}": v for k, v in device_memory_stats().items()}
+                        )
+                        writer.add_scalars(global_step, scalars, prefix="train/")
+                        progress.display(it)
+                # save/eval/stop checks fire once per dispatch group; with
+                # k_disp>1 a boundary crossed mid-group fires here (state only
+                # exists at group granularity)
+                if args.runtime_save_iter and (
+                    global_step // args.runtime_save_iter
+                    > last_check // args.runtime_save_iter
+                ):
                     ckpt.save_runtime(jax.device_get(state), global_step)
                     evaluate_downstream(state.params, global_step, writer)
+                last_check = global_step
                 if args.max_steps and global_step >= args.max_steps:
                     stop = True
                     break

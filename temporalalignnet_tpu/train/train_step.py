@@ -99,7 +99,7 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def _build_step_fn(
     model: TANWithText,
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
@@ -166,12 +166,64 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(
+    model: TANWithText,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    loss_cfg: LossConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     # Sharding is carried by the inputs: create_train_state(mesh=...) places the
     # state per the TP rules, the data pipeline device_puts batches with
     # PartitionSpec('data'), and jit/GSPMD propagates — collectives (grad
     # all-reduce over 'data', activation collectives over 'model') are inserted
     # automatically and ride ICI.
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(_build_step_fn(model, tx, cfg, loss_cfg, mesh), donate_argnums=(0,))
+
+
+def make_multi_train_step(
+    model: TANWithText,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    loss_cfg: LossConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """K optimizer steps per dispatch: lax.scan of the train step over batches
+    whose leaves are stacked [K, B, ...] (see stack_batches).
+
+    Why: each jit dispatch over the axon tunnel costs ~3 ms of serial latency
+    that host-side call pipelining does not hide (profiles/eval_fwd_b192_v5e.md),
+    and the per-step loss fetch used for metering is a full round trip.  Scanning
+    K steps amortizes both to one dispatch + one [K]-scalar fetch.  Semantics are
+    identical to K sequential steps (same rng fold-in by state.step, same EMA /
+    backprop_freq gating) — tested in tests/test_train.py.
+
+    Returns (state, metrics) where each metrics leaf is stacked [K].
+    """
+    step_fn = _build_step_fn(model, tx, cfg, loss_cfg, mesh)
+
+    def multi_fn(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        return jax.lax.scan(step_fn, state, batches)
+
+    return jax.jit(multi_fn, donate_argnums=(0,))
+
+
+def stack_batches(batches, mesh: Optional[Mesh] = None) -> Dict[str, jnp.ndarray]:
+    """Stack a list of same-shape host batches into [K, B, ...] leaves for
+    make_multi_train_step; with a mesh the batch axis (axis 1) shards over
+    'data' and the scan axis stays replicated."""
+    import numpy as np
+
+    stacked = {
+        k: np.stack([np.asarray(b[k]) for b in batches]) for k in batches[0]
+    }
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {k: jax.device_put(v, sh) for k, v in stacked.items()}
 
 
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:

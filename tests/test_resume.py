@@ -96,3 +96,34 @@ def test_kill_and_resume_reproduces_uninterrupted_run(tmp_path, rng):
     # did not replay epoch 0 / batch 0 of epoch 1
     log_b = os.path.join(_exp_dir(str(tmp_path / "b")), "running_command.txt")
     assert len(open(log_b).read().strip().splitlines()) == 2  # two invocations
+
+
+@pytest.mark.slow
+def test_steps_per_dispatch_matches_per_step_run(tmp_path, rng):
+    """--steps_per_dispatch 2: the scanned grouped trainer reproduces the
+    per-step trainer exactly, including the epoch-tail partial group
+    (batch_size 3 over 10 videos -> 3 steps/epoch -> groups of 2+1)."""
+    feat_dir, captions, _, _ = build_fixtures(tmp_path, rng)
+    vocab_path = str(tmp_path / "vocab.npy")
+    np.save(vocab_path, np.array(VOCAB))
+
+    common = _common_args(feat_dir, captions, vocab_path, "IGNORED")
+    # batch 2 over 10 videos -> 5 steps/epoch -> k=2 groups of 2,2,1 (tail);
+    # batch 2 still shards over the dp=2 mesh
+    common[common.index("--batch_size") + 1] = "2"
+    common[common.index("--epochs") + 1] = "2"
+
+    def run(prefix, extra):
+        args = list(common)
+        args[args.index("IGNORED")] = str(tmp_path / prefix)
+        train_cli_main(args + ["--runtime_save_iter", "0"] + extra)
+
+    run("k1", [])
+    run("k2", ["--steps_per_dispatch", "2"])
+
+    import os
+
+    a = load_params(os.path.join(_exp_dir(str(tmp_path / "k1")), "params_latest"))
+    b = load_params(os.path.join(_exp_dir(str(tmp_path / "k2")), "params_latest"))
+    for la, lb in zip(_flat(a), _flat(b)):
+        np.testing.assert_array_equal(la, lb)

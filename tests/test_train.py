@@ -11,8 +11,10 @@ from temporalalignnet_tpu.models.net import TANWithText
 from temporalalignnet_tpu.parallel.mesh import make_mesh
 from temporalalignnet_tpu.train.train_step import (
     create_train_state,
+    make_multi_train_step,
     make_train_step,
     shard_batch,
+    stack_batches,
 )
 
 TINY = dict(
@@ -142,6 +144,94 @@ def _assert_param_trees_close(expected, got, atol):
         np.testing.assert_allclose(
             np.asarray(le), np.asarray(lg), atol=atol, err_msg=name
         )
+
+
+class TestMultiStepDispatch:
+    """make_multi_train_step (K optimizer steps per dispatch via lax.scan) is
+    semantically identical to K sequential make_train_step calls — same rng
+    fold-in by state.step, same EMA / backprop_freq gating."""
+
+    def _setup(self, mesh=None, cotrain=True):
+        # cotrain + backprop_freq=2 exercises every step-indexed branch (EMA
+        # momentum gating, grad accumulation, per-step rng)
+        loss_cfg = LossConfig(
+            **(
+                dict(
+                    model="cotrain",
+                    learn_agreement=True,
+                    use_alignability_head=True,
+                    loss_threshold=0.5,
+                )
+                if cotrain
+                else {}
+            )
+        )
+        mcfg = ModelConfig(
+            use_alignability_head=loss_cfg.use_alignability_head, **TINY
+        )
+        model = TANWithText(mcfg, vocab_size=51)
+        tcfg = TrainConfig(
+            lr=1e-3, warmup_iterations=0, total_iterations=100, backprop_freq=2
+        )
+        batches = [
+            synthetic_batch(
+                np.random.RandomState(s),
+                batch_size=8,
+                seq_len=32,
+                max_sentences=4,
+                feature_dim=TINY["video_embed_dim"],
+                vocab_size=50,
+                max_words=8,
+            )
+            for s in (1, 2, 3)
+        ]
+        state, tx = create_train_state(
+            model, tcfg, loss_cfg, {k: jnp.asarray(v) for k, v in batches[0].items()},
+            mesh=mesh,
+        )
+        return model, tx, tcfg, loss_cfg, state, batches
+
+    def test_matches_sequential(self):
+        model, tx, tcfg, loss_cfg, state_a, batches = self._setup()
+        step = make_train_step(model, tx, tcfg, loss_cfg)
+        losses_seq = []
+        st = state_a
+        for b in batches:
+            st, m = step(st, {k: jnp.asarray(v) for k, v in b.items()})
+            losses_seq.append(float(m["loss"]))
+
+        _, _, _, _, state_b, _ = self._setup()  # fresh identical init
+        multi = make_multi_train_step(model, tx, tcfg, loss_cfg)
+        st2, mk = multi(state_b, stack_batches(batches))
+        np.testing.assert_allclose(
+            np.asarray(mk["loss"]), np.asarray(losses_seq), rtol=1e-6
+        )
+        assert int(st2.step) == int(st.step) == 3
+        _assert_param_trees_close(st.params, st2.params, atol=1e-6)
+        _assert_param_trees_close(st.ema_params, st2.ema_params, atol=1e-6)
+
+    def test_matches_sequential_dp_mesh(self):
+        """Under a dp8 mesh the scanned multi-step is BIT-EXACT against K
+        sequential mesh steps (measured diff 0.0): the scan changes dispatch
+        granularity, not the compiled per-step math.  (Mesh-vs-single-device
+        numerics drift ~1e-4 over 3 random batches — that pre-existing
+        property is covered by test_dp_matches_single_device.)"""
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU mesh CI)")
+        mesh = make_mesh(dp_size=8, tp_size=1)
+        model, tx, tcfg, loss_cfg, state_a, batches = self._setup(
+            mesh=mesh, cotrain=False
+        )
+        step = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
+        st = state_a
+        for b in batches:
+            st, m = step(st, shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh))
+
+        _, _, _, _, state_m, _ = self._setup(mesh=mesh, cotrain=False)
+        multi = make_multi_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
+        st2, mk = multi(state_m, stack_batches(batches, mesh))
+        assert np.isfinite(np.asarray(mk["loss"])).all()
+        _assert_param_trees_close(st.params, st2.params, atol=0)
 
 
 class TestMultiDevice:
