@@ -94,7 +94,8 @@ class LossConfig:
     mask_value: float = -6.0e4  # fp16/bf16-safe -inf substitute (loss.py:98-100)
     # compute the MIL-NCE logsumexps with the fused Pallas kernel from feature
     # outputs (requires ModelConfig.fused_milnce); the [B,S,T,B,N] logits
-    # tensors then never exist in HBM.  Single-chip path; keep off under a mesh.
+    # tensors then never exist in HBM.  Under a mesh the kernel runs per-device
+    # via shard_map with a cross-device column-lse merge (ops/pallas_milnce.py).
     use_fused_milnce: bool = False
 
     def replace(self, **kw) -> "LossConfig":

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INIT = -1.0e30  # online-lse accumulator init; exp(_NEG_INIT - x) == 0
 
 
 def _precision(dtype):

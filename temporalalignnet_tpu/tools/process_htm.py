@@ -102,14 +102,18 @@ def sentencify_chunks(paths, sentencifier, prefetch: int = 2) -> list:
     (sentencify_text/process_htm.py:124-156)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    prefetch = max(prefetch, 1)
     outs = []
-    with ThreadPoolExecutor(max_workers=max(prefetch, 1)) as pool:
-        futures = {p: pool.submit(_prepare_chunk, p) for p in paths[:prefetch]}
+    # futures key by position, not path: duplicate paths stay distinct entries
+    with ThreadPoolExecutor(max_workers=prefetch) as pool:
+        futures = {
+            i: pool.submit(_prepare_chunk, p) for i, p in enumerate(paths[:prefetch])
+        }
         for i, path in enumerate(paths):
-            for nxt in paths[i + 1 : i + 1 + prefetch]:
-                if nxt not in futures:
-                    futures[nxt] = pool.submit(_prepare_chunk, nxt)
-            prepared = futures.pop(path).result()
+            for j in range(i + 1, min(i + 1 + prefetch, len(paths))):
+                if j not in futures:
+                    futures[j] = pool.submit(_prepare_chunk, paths[j])
+            prepared = futures.pop(i).result()
             outs.append(_punctuate_prepared(prepared, sentencifier, path))
     return outs
 

@@ -468,7 +468,10 @@ def main(argv: Optional[list] = None) -> dict:
                                      prefix=f"Epoch {epoch} ")
             t_data = time.perf_counter()
             pending = []
-            n_batches = len(loader)
+            # batches this epoch will actually yield: a mid-epoch resume starts
+            # the loader at start_batch, so the tail-group flush must key off
+            # the yield count, not len(loader)
+            n_yield = len(loader) - (start_batch if epoch == start_epoch else 0)
             for it, batch in enumerate(loader):
                 dt_data = time.perf_counter() - t_data
                 data_meter.update(dt_data)
@@ -485,7 +488,7 @@ def main(argv: Optional[list] = None) -> dict:
                         rows = [(metrics, float(metrics["loss"]))]
                 else:
                     pending.append(batch)
-                    if len(pending) < k_disp and it < n_batches - 1:
+                    if len(pending) < k_disp and it < n_yield - 1:
                         t_data = time.perf_counter()
                         continue
                     # group dispatch: one lax.scan program runs len(pending)

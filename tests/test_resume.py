@@ -127,3 +127,41 @@ def test_steps_per_dispatch_matches_per_step_run(tmp_path, rng):
     b = load_params(os.path.join(_exp_dir(str(tmp_path / "k2")), "params_latest"))
     for la, lb in zip(_flat(a), _flat(b)):
         np.testing.assert_array_equal(la, lb)
+
+
+@pytest.mark.slow
+def test_resume_with_grouped_dispatch_trains_tail_batches(tmp_path, rng):
+    """Mid-epoch resume + --steps_per_dispatch>1: the resumed epoch yields
+    fewer batches than len(loader), so the tail-group flush must key off the
+    yield count — a flush condition on len(loader) silently drops up to K-1
+    batches at the resumed epoch's end (caught in review, r2)."""
+    feat_dir, captions, _, _ = build_fixtures(tmp_path, rng)
+    vocab_path = str(tmp_path / "vocab.npy")
+    np.save(vocab_path, np.array(VOCAB))
+
+    common = _common_args(feat_dir, captions, vocab_path, "IGNORED")
+    common[common.index("--batch_size") + 1] = "2"  # 5 steps/epoch
+    common[common.index("--epochs") + 1] = "2"
+
+    def run(prefix, extra):
+        args = list(common)
+        args[args.index("IGNORED")] = str(tmp_path / prefix)
+        train_cli_main(args + extra)
+
+    # A: uninterrupted per-step run, 10 steps
+    run("a", ["--runtime_save_iter", "0"])
+    # B: grouped k=2, stopped after the group that crosses max_steps=3
+    # (global_step 4), runtime ckpt at the crossing
+    run("b", ["--steps_per_dispatch", "2", "--runtime_save_iter", "3",
+              "--max_steps", "3"])
+    # C: resume -> epoch 0 batch 4 -> the resumed epoch yields ONE batch,
+    # which must flush as a tail group of 1
+    run("b", ["--steps_per_dispatch", "2", "--runtime_save_iter", "0",
+              "--resume", "auto"])
+
+    import os
+
+    a = load_params(os.path.join(_exp_dir(str(tmp_path / "a")), "params_latest"))
+    b = load_params(os.path.join(_exp_dir(str(tmp_path / "b")), "params_latest"))
+    for la, lb in zip(_flat(a), _flat(b)):
+        np.testing.assert_array_equal(la, lb)
