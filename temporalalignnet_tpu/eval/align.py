@@ -127,20 +127,30 @@ class AlignmentEvaluator:
                 a_joint = jnp.max(jnp.where(tmask, -jnp.inf, joint), axis=0)
             return joint, dual, a_dual, a_joint
 
-        def video_canvas(params, video_b, text_embed, steps, win_valid, active, vlen):
+        def video_canvas(
+            params, videos, row_off, canvas_len, text_embed, steps, win_valid,
+            active, vlen,
+        ):
             """Whole-video fused path: gather windows, run sims, and
             scatter-add the overlap canvases ON DEVICE, so per video only the
-            full feature array goes up and only the stitched [Nb, Vb] canvas
-            comes back — one device round trip instead of one per chunk.
+            feature rows go up and only the stitched [Nb, Vb] canvas comes
+            back — one device round trip instead of one per chunk.
 
-            video_b [Vb, C]; steps [Wb] window starts; win_valid [Wb];
-            active [Wb, Nb] active-sentence masks.
+            videos [R, C] — a PACKED table of one or many videos at true
+            length (upload bytes scale with content, not with the corpus-max
+            bucket — the padded f32 table dominated whole-corpus eval through
+            the ~33 MB/s tunnel); row_off — this video's first row;
+            canvas_len [Vb] static iota sizing the output canvas; steps [Wb]
+            window starts; win_valid [Wb]; active [Wb, Nb] active-sentence
+            masks; vlen — true video length.
             """
-            Vb = video_b.shape[0]
+            Vb = canvas_len.shape[0]
             T = cfg.seq_len
             idx = steps[:, None] + jnp.arange(T)[None, :]  # [Wb, T]
             in_range = idx < vlen  # true length, NOT the padded bucket
-            wins = video_b[jnp.minimum(idx, Vb - 1)]  # [Wb, T, C]
+            # out-of-range rows gather the last real row; every consumer masks
+            # them via ~in_range so the values never contribute
+            wins = videos[row_off + jnp.minimum(idx, vlen - 1)]  # [Wb, T, C]
             joint, dual, a_d, a_j = window_sims(
                 params, wins, ~in_range, text_embed, ~active
             )
@@ -179,9 +189,10 @@ class AlignmentEvaluator:
         self._global_sims = jax.jit(global_sims)
         self._video_canvas = jax.jit(video_canvas)
         # corpus mode: vmap over a video batch — the whole eval set runs in a
-        # handful of device calls (grouped by padded-shape bucket)
+        # handful of device calls (grouped by padded-shape bucket); the packed
+        # video table and the canvas-sizing iota are shared (in_axes=None)
         self._video_canvas_batched = jax.jit(
-            jax.vmap(video_canvas, in_axes=(None, 0, 0, 0, 0, 0, 0))
+            jax.vmap(video_canvas, in_axes=(None, None, 0, None, 0, 0, 0, 0, 0))
         )
 
     # ---------------------------------------------------------------- host side
@@ -272,7 +283,9 @@ class AlignmentEvaluator:
             # stitched canvas (the chunked path below remains for mesh sharding)
             sim_d, align_d = self._video_canvas(
                 self.params,
-                jnp.asarray(prep["video_b"]),
+                jnp.asarray(prep["video_b"]),  # single video: its own table
+                jnp.asarray(0, jnp.int32),
+                jnp.zeros(prep["Vb"], jnp.int8),  # canvas-sizing only
                 text_embed,
                 jnp.asarray(prep["steps_a"]),
                 jnp.asarray(prep["win_valid"]),
@@ -387,6 +400,31 @@ class AlignmentEvaluator:
                 self._batch_sharding.spec[0]
             ]
 
+        # one PACKED true-length video table for the whole corpus, uploaded
+        # once and shared by every group (in_axes=None): upload bytes scale
+        # with real content, not n_videos * corpus-max bucket; a bf16 model
+        # gets a bf16 table (lossless — its first projection casts anyway)
+        offs, off = [], 0
+        for p in preps:
+            offs.append(off)
+            off += p["vlen"]
+        C = preps[0]["video"].shape[1]
+        table = np.zeros((_round_up(off, 8), C), np.float32)
+        for p, o in zip(preps, offs):
+            table[o : o + p["vlen"]] = p["video"]
+        if self.model.dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            table = table.astype(ml_dtypes.bfloat16)
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            table_d = jax.device_put(
+                table, NamedSharding(self._batch_sharding.mesh, P())
+            )
+        else:
+            table_d = jnp.asarray(table)
+
         results: List[Optional[Dict]] = [None] * len(corpus)
         for (Vb, Wb, Nb), idxs in groups.items():
             take = list(idxs) + [idxs[-1]] * ((-len(idxs)) % dp)
@@ -397,11 +435,16 @@ class AlignmentEvaluator:
                     return jax.device_put(arr, self._batch_sharding)
                 return jnp.asarray(arr)
 
+            row_off = np.asarray([offs[i] for i in take], np.int32)
+            if self._batch_sharding is not None:
+                row_off = jax.device_put(row_off, self._batch_sharding)
             ids = stacked("ids")  # [V, Nb, W]; encode_text handles leading dims
             text = self._encode_text(self.params, ids)
             sim_d, align_d = self._video_canvas_batched(
                 self.params,
-                stacked("video_b"),
+                table_d,
+                jnp.asarray(row_off),
+                jnp.zeros(Vb, jnp.int8),
                 text,
                 stacked("steps_a"),
                 stacked("win_valid"),

@@ -106,8 +106,8 @@ class RetrievalEvaluator:
 
         def clip_features_gathered(
             params,
-            videos,      # [U, Vb, C] unique videos, padded
-            vid_idx,     # [Q] clip -> video row
+            videos,      # [R, C] unique videos PACKED at true length
+            row_off,     # [Q] clip -> first row of its video in the pack
             starts,      # [Q, K] window starts (may be negative)
             vlens,       # [Q] true video lengths
             wpad,        # [Q, K, Lb] True = pad
@@ -116,13 +116,15 @@ class RetrievalEvaluator:
             interpolate: bool,
         ):
             """Batched clip features with ON-DEVICE window gathering: the host
-            uploads each video once; the 10x window duplication happens in HBM.
-            Boundary clamping replicates sample_clip_windows' np.clip
-            (eval_zeroshot_retrieval.py:129-131)."""
+            uploads each video once, PACKED at its true length (no corpus-wide
+            max-vlen padding — upload bytes and HBM scale with real content,
+            which matters at tunnel/PCIe bandwidth); the 10x window duplication
+            happens in HBM.  Boundary clamping replicates sample_clip_windows'
+            np.clip (eval_zeroshot_retrieval.py:129-131)."""
             Lb = wpad.shape[-1]
             idx = starts[:, :, None] + jnp.arange(Lb)[None, None, :]  # [Q, K, Lb]
             idx = jnp.clip(idx, 0, vlens[:, None, None] - 1)
-            wins = videos[vid_idx[:, None, None], idx]  # [Q, K, Lb, C]
+            wins = videos[row_off[:, None, None] + idx]  # [Q, K, Lb, C]
             return jax.vmap(clip_feature, in_axes=(None, 0, 0, 0, 0, None))(
                 params, wins, wpad, seg, eff_len, interpolate
             )
@@ -143,31 +145,38 @@ class RetrievalEvaluator:
             seg[k, s_idx[k] : e_idx[k]] = True
         return starts, L, Lb, wpad, seg, L >= cfg.seq_len  # (:181-184)
 
-    def evaluate(self, items: Sequence[Dict]) -> Dict[str, float]:
-        """items: {'video': [vlen,C], 'start', 'end', 'input_ids': [W] int}.
+    def clip_features(self, items: Sequence[Dict]) -> np.ndarray:
+        """Pooled l2-normalized visual features per clip, [Q, C].
 
-        Each unique video ('vid' key, else array identity) uploads ONCE; the
-        10x window duplication is an on-device gather.  Clips group by
-        (window-length bucket, interpolate) into vmapped calls.
+        Each unique video ('vid' key, else list position) uploads ONCE, packed
+        at true length; the 10x window duplication is an on-device gather.
+        Clips group by (window-length bucket, interpolate) into vmapped calls.
         """
         items = list(items)
         preps = [self._prepare_item(it) for it in items]
 
-        # unique-video table, padded to one corpus-wide bucket
+        # unique-video table, PACKED at true length: upload bytes scale with
+        # real content, not len(uniq) * corpus-max-vlen (through the ~33 MB/s
+        # axon tunnel the padded table dominated the whole eval)
         vid_keys = [it.get("vid", i) for i, it in enumerate(items)]
         uniq: Dict = {}
         for i, k in enumerate(vid_keys):
             uniq.setdefault(k, np.asarray(items[i]["video"], np.float32))
-        max_vlen = max(v.shape[0] for v in uniq.values())
-        Vb = _round_up(max_vlen, 128)
         C = next(iter(uniq.values())).shape[1]
-        videos = np.zeros((len(uniq), Vb, C), np.float32)
-        vlens = np.zeros(len(uniq), np.int32)
-        row_of = {}
-        for r, (k, v) in enumerate(uniq.items()):
-            videos[r, : v.shape[0]] = v
-            vlens[r] = v.shape[0]
-            row_of[k] = r
+        off_of, vlen_of, off = {}, {}, 0
+        for k, v in uniq.items():
+            off_of[k], vlen_of[k] = off, v.shape[0]
+            off += v.shape[0]
+        videos = np.zeros((_round_up(off, 8), C), np.float32)
+        for k, v in uniq.items():
+            videos[off_of[k] : off_of[k] + v.shape[0]] = v
+        # upload in the model's compute dtype: a bf16 model casts the windows
+        # at its first projection anyway, so a host-side bf16 cast is lossless
+        # and halves the upload bytes (f32 models keep an f32 table)
+        if self.model.dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            videos = videos.astype(ml_dtypes.bfloat16)
         videos_d = jnp.asarray(videos)
 
         groups: Dict[tuple, list] = {}
@@ -176,26 +185,29 @@ class RetrievalEvaluator:
 
         vis = [None] * len(items)
         for (Lb, interp), idxs in groups.items():
-            vid_idx = np.asarray([row_of[vid_keys[i]] for i in idxs], np.int32)
             v = self._clip_features_gathered(
                 self.params,
                 videos_d,
-                jnp.asarray(vid_idx),
+                jnp.asarray([off_of[vid_keys[i]] for i in idxs], jnp.int32),
                 jnp.asarray(np.stack([preps[i][0] for i in idxs]).astype(np.int32)),
-                jnp.asarray(vlens[vid_idx]),
+                jnp.asarray([vlen_of[vid_keys[i]] for i in idxs], jnp.int32),
                 jnp.asarray(np.stack([preps[i][3] for i in idxs])),
                 jnp.asarray(np.stack([preps[i][4] for i in idxs])),
                 jnp.asarray([preps[i][1] for i in idxs], jnp.int32),
                 interp,
             )
-            v = np.asarray(v)
+            v = np.asarray(v, np.float32)
             for k, i in enumerate(idxs):
                 vis[i] = v[k]
+        return np.stack(vis)  # [Q, C] f32 for host-side metric math
+
+    def evaluate(self, items: Sequence[Dict]) -> Dict[str, float]:
+        """items: {'video': [vlen,C], 'start', 'end', 'input_ids': [W] int}."""
+        items = list(items)
+        V = self.clip_features(items)
 
         ids = np.stack([np.asarray(it["input_ids"], np.int32) for it in items])
-        txt = np.asarray(self._text_feature(self.params, jnp.asarray(ids)))
-
-        V = np.stack(vis)  # [Q, C]
+        txt = np.asarray(self._text_feature(self.params, jnp.asarray(ids)), np.float32)
         X = txt
         out = retrieval_metrics(X @ V.T)
         Vc, Xc = V - V.mean(0, keepdims=True), X - X.mean(0, keepdims=True)

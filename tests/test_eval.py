@@ -254,6 +254,51 @@ class TestRetrieval:
         assert wins.shape == (4, 256, 4)
         np.testing.assert_array_equal(e_idx - s_idx, 256)
 
+    def test_gathered_matches_per_clip_oracle_bf16_table(self, rng):
+        """The packed-table on-device gather path — including the bf16 table a
+        bf16 model uploads — equals a host-side per-clip oracle built from
+        sample_clip_windows + _clip_feature on f32 windows: the model's first
+        projection casts to bf16 either way, so the bf16 upload is lossless."""
+        cfg = ModelConfig(**TINY)
+        model = TANWithText(cfg, vocab_size=VOCAB + 1, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        params = model.init(
+            {"params": key, "pos": key},
+            jnp.zeros((1, 16, cfg.video_embed_dim)),
+            jnp.zeros((1, 2, 8), jnp.int32),
+            deterministic=True,
+        )["params"]
+
+        videos = {v: rng.randn(rng.randint(120, 200), 32).astype(np.float32)
+                  for v in ("a", "b", "c")}
+        items = []
+        for q in range(6):
+            vid = "abc"[q % 3]  # shared videos exercise the packing offsets
+            items.append({
+                "vid": vid,
+                "video": videos[vid],
+                "start": float(rng.randint(10, 40)),
+                "end": float(rng.randint(60, 100)),
+                "input_ids": np.pad(
+                    rng.randint(1, VOCAB, size=5).astype(np.int32), (0, 3)
+                ),
+            })
+        ev = RetrievalEvaluator(model, params, EvalConfig(seq_len=32, num_clips=4))
+        got = ev.clip_features(items)
+
+        for q, it in enumerate(items):
+            starts, L, Lb, wpad, seg, interp = ev._prepare_item(it)
+            wins, _, _ = sample_clip_windows(
+                np.asarray(it["video"], np.float32), it["start"], it["end"], 4
+            )
+            wins_p = np.zeros((4, Lb, 32), np.float32)
+            wins_p[:, :L] = wins
+            oracle = np.asarray(ev._clip_feature(
+                params, jnp.asarray(wins_p), jnp.asarray(wpad),
+                jnp.asarray(seg), jnp.asarray(L), interp,
+            ), np.float32)
+            np.testing.assert_allclose(got[q], oracle, atol=1e-6, err_msg=f"clip {q}")
+
     def test_evaluator_runs(self, rng):
         model, params = tiny_model()
         items = []
