@@ -37,9 +37,11 @@ ITERS = 10
 # serial dispatch per jit call (profiles/eval_fwd_b192_v5e.md: 11.1 ms device
 # busy vs 14.0 ms wall) that host-side call pipelining does NOT hide; driving K
 # batches through one lax.scan dispatch amortizes it away: measured on v5e
-# 13.6k w/s per-call -> 16.0k at K=40 -> 16.6k at K=80 (~96% of the 17.3k
-# device-busy roofline).  TAN_BENCH_MODE=percall restores the per-call timing.
-K = int(os.environ.get("TAN_BENCH_K", "80"))
+# 13.6k w/s per-call -> 16.0k at K=40 -> 16.6k at K=80 -> 16.6k at K=120
+# (~96% of the 17.3k device-busy roofline; K=120 needs ~6 GB for the stacked
+# inputs, comfortably inside one v5e).  TAN_BENCH_MODE=percall restores the
+# per-call timing.
+K = int(os.environ.get("TAN_BENCH_K", "120"))
 MODE = os.environ.get("TAN_BENCH_MODE", "scan")
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 

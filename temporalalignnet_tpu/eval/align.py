@@ -281,9 +281,14 @@ class AlignmentEvaluator:
         if self._batch_sharding is None:
             # fused on-device path: one H2D of the features, one D2H of the
             # stitched canvas (the chunked path below remains for mesh sharding)
+            video_b = prep["video_b"]
+            if self.model.dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                video_b = video_b.astype(ml_dtypes.bfloat16)
             sim_d, align_d = self._video_canvas(
                 self.params,
-                jnp.asarray(prep["video_b"]),  # single video: its own table
+                jnp.asarray(video_b),  # single video: its own table
                 jnp.asarray(0, jnp.int32),
                 jnp.zeros(prep["Vb"], jnp.int8),  # canvas-sizing only
                 text_embed,
