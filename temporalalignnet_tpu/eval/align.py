@@ -23,6 +23,7 @@ import numpy as np
 
 from temporalalignnet_tpu.core.config import EvalConfig
 from temporalalignnet_tpu.eval.metrics import roc_auc_score
+from temporalalignnet_tpu.eval.pack import pack_video_table
 from temporalalignnet_tpu.models.net import TANWithText
 
 MASK_VALUE = -6.0e4
@@ -248,8 +249,6 @@ class AlignmentEvaluator:
 
         Wb = _round_up(max(len(work), 1), 16)
         Vb = _round_up(vlen, 128)
-        video_b = np.zeros((Vb, video.shape[1]), np.float32)
-        video_b[:vlen] = video
         steps_a = np.zeros(Wb, np.int32)
         win_valid = np.zeros(Wb, bool)
         active = np.zeros((Wb, n_bucket), bool)
@@ -260,7 +259,7 @@ class AlignmentEvaluator:
         return dict(
             video=video, vlen=vlen, vlen_a=np.asarray(vlen, np.int32),
             n_text=n_text, n_bucket=n_bucket, ids=ids,
-            work=work, Wb=Wb, Vb=Vb, video_b=video_b, steps_a=steps_a,
+            work=work, Wb=Wb, Vb=Vb, steps_a=steps_a,
             win_valid=win_valid, active=active,
         )
 
@@ -281,14 +280,14 @@ class AlignmentEvaluator:
         if self._batch_sharding is None:
             # fused on-device path: one H2D of the features, one D2H of the
             # stitched canvas (the chunked path below remains for mesh sharding)
-            video_b = prep["video_b"]
-            if self.model.dtype == jnp.bfloat16:
-                import ml_dtypes
-
-                video_b = video_b.astype(ml_dtypes.bfloat16)
+            # single video: its own table, row-bucketed to 128 so videos of
+            # similar length share one compiled program
+            table, _ = pack_video_table(
+                [video], self.model.dtype, round_rows_to=128
+            )
             sim_d, align_d = self._video_canvas(
                 self.params,
-                jnp.asarray(video_b),  # single video: its own table
+                jnp.asarray(table),
                 jnp.asarray(0, jnp.int32),
                 jnp.zeros(prep["Vb"], jnp.int8),  # canvas-sizing only
                 text_embed,
@@ -394,6 +393,8 @@ class AlignmentEvaluator:
         one-round-trip fused path IS the multi-chip path — corpus eval scales
         linearly across chips instead of falling back to host stitching.
         """
+        if not corpus:
+            return []
         preps = [self._prepare_video(item) for item in corpus]
         groups: Dict[tuple, List[int]] = {}
         for i, p in enumerate(preps):
@@ -405,22 +406,18 @@ class AlignmentEvaluator:
                 self._batch_sharding.spec[0]
             ]
 
-        # one PACKED true-length video table for the whole corpus, uploaded
-        # once and shared by every group (in_axes=None): upload bytes scale
-        # with real content, not n_videos * corpus-max bucket; a bf16 model
-        # gets a bf16 table (lossless — its first projection casts anyway)
-        offs, off = [], 0
-        for p in preps:
-            offs.append(off)
-            off += p["vlen"]
-        C = preps[0]["video"].shape[1]
-        table = np.zeros((_round_up(off, 8), C), np.float32)
-        for p, o in zip(preps, offs):
-            table[o : o + p["vlen"]] = p["video"]
-        if self.model.dtype == jnp.bfloat16:
-            import ml_dtypes
-
-            table = table.astype(ml_dtypes.bfloat16)
+        # one PACKED true-length video table for the whole corpus — UNIQUE
+        # videos ('vid' key, else corpus position) upload once, shared by
+        # every group (in_axes=None): upload bytes scale with real content,
+        # not n_items * corpus-max bucket; a bf16 model gets a bf16 table
+        # (lossless — its first projection casts anyway)
+        vid_keys = [item.get("vid", i) for i, item in enumerate(corpus)]
+        uniq: Dict = {}
+        for i, k in enumerate(vid_keys):
+            uniq.setdefault(k, preps[i]["video"])
+        table, uoffs = pack_video_table(list(uniq.values()), self.model.dtype)
+        off_of = dict(zip(uniq.keys(), uoffs))
+        offs = [int(off_of[k]) for k in vid_keys]
         if self._batch_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

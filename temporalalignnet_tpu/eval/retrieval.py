@@ -19,6 +19,7 @@ import numpy as np
 
 from temporalalignnet_tpu.core.config import EvalConfig
 from temporalalignnet_tpu.eval.metrics import retrieval_metrics
+from temporalalignnet_tpu.eval.pack import pack_video_table
 from temporalalignnet_tpu.models.net import TANWithText
 
 
@@ -162,22 +163,10 @@ class RetrievalEvaluator:
         uniq: Dict = {}
         for i, k in enumerate(vid_keys):
             uniq.setdefault(k, np.asarray(items[i]["video"], np.float32))
-        C = next(iter(uniq.values())).shape[1]
-        off_of, vlen_of, off = {}, {}, 0
-        for k, v in uniq.items():
-            off_of[k], vlen_of[k] = off, v.shape[0]
-            off += v.shape[0]
-        videos = np.zeros((_round_up(off, 8), C), np.float32)
-        for k, v in uniq.items():
-            videos[off_of[k] : off_of[k] + v.shape[0]] = v
-        # upload in the model's compute dtype: a bf16 model casts the windows
-        # at its first projection anyway, so a host-side bf16 cast is lossless
-        # and halves the upload bytes (f32 models keep an f32 table)
-        if self.model.dtype == jnp.bfloat16:
-            import ml_dtypes
-
-            videos = videos.astype(ml_dtypes.bfloat16)
-        videos_d = jnp.asarray(videos)
+        videos_np, uoffs = pack_video_table(list(uniq.values()), self.model.dtype)
+        off_of = dict(zip(uniq.keys(), (int(o) for o in uoffs)))
+        vlen_of = {k: v.shape[0] for k, v in uniq.items()}
+        videos_d = jnp.asarray(videos_np)
 
         groups: Dict[tuple, list] = {}
         for i, (_, _, Lb, _, _, interp) in enumerate(preps):

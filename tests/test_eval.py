@@ -319,3 +319,38 @@ class TestRetrieval:
         for k in ["R1", "R5", "R10", "MR", "C-R1", "S-R1"]:
             assert k in m
         assert 0 <= m["R1"] <= 1
+
+
+class TestPackedTable:
+    def test_bf16_corpus_batched_matches_single_video_and_dedups(self, rng):
+        """bf16 model: the corpus-batched packed-table path (incl. 'vid'
+        dedup — two items sharing a video) equals the single-video fused
+        path, exercising both bf16 upload branches CI never hit before."""
+        cfg = ModelConfig(**TINY)
+        model = TANWithText(cfg, vocab_size=VOCAB + 1, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        params = model.init(
+            {"params": key, "pos": key},
+            jnp.zeros((1, 16, cfg.video_embed_dim)),
+            jnp.zeros((1, 2, 8), jnp.int32),
+            deterministic=True,
+        )["params"]
+        corpus = make_corpus(rng, num_videos=3)
+        corpus[1]["vid"] = corpus[0]["vid"] = "shared"
+        corpus[1]["video"] = corpus[0]["video"]  # dedup: one upload, two items
+        ev = AlignmentEvaluator(model, params, EvalConfig(seq_len=32))
+
+        batched = ev.evaluate_corpus_batched(corpus)
+        for item, res in zip(corpus, batched):
+            single = ev.evaluate_video(item)
+            np.testing.assert_allclose(
+                res["sim"], single["sim"], atol=1e-6, err_msg="sim"
+            )
+            np.testing.assert_allclose(
+                res["align_score"], single["align_score"], atol=1e-6
+            )
+
+    def test_empty_corpus(self, rng):
+        model, params = tiny_model()
+        ev = AlignmentEvaluator(model, params, EvalConfig(seq_len=32))
+        assert ev.evaluate_corpus_batched([]) == []
