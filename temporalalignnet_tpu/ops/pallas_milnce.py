@@ -182,18 +182,40 @@ def _milnce_bwd_kernel(
         dt_ref[0] = acc_ref[...].astype(dt_ref.dtype)
 
 
-def _pick_row_block(R: int, K: int, C: int, itemsize: int, bwd: bool) -> int:
-    """Largest row block that divides R and keeps the working set in VMEM."""
-    budget = 8 * 1024 * 1024
-    fixed = K * C * itemsize * 2 + (K * C * 4 if bwd else 0)  # t (dbl-buf) + acc
-    for br in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+def _pick_row_block(R: int, K: int, C: int, itemsize: int, bwd: bool):
+    """Largest row block that divides R and keeps the working set in VMEM.
+
+    Only 8-divisible blocks are legal on TPU (the (8, 128) block rule — a
+    br of 1/2/4 fails Mosaic lowering unless it equals R).  Returns None when
+    even br=8 blows the VMEM budget (e.g. K = B*N text columns so large the
+    [K, C] text block + f32 accumulator alone exceed it) — callers fall back
+    to the XLA logits path (fused_milnce_supported)."""
+    # 16 MiB scoped VMEM per core; Mosaic's own overhead eats a few MB, so
+    # budget conservatively (measured: B=128 bwd at br=8 wants 16.41 MB —
+    # over the limit — because t-in, dt-out (both double-buffered) and the
+    # f32 accumulator are each [K, C] with K = B*N = 2048)
+    budget = 10 * 1024 * 1024
+    fixed = K * C * itemsize * 2  # t block, double-buffered
+    if bwd:
+        fixed += K * C * (itemsize * 2 + 4)  # dt out (dbl-buf) + f32 acc
+    for br in (1024, 512, 256, 128, 64, 32, 16, 8):
         if R % br:
             continue
         tiles = (10 if bwd else 6) * br * K * 4  # fp32 sim/pos/neg/prob tiles
         blocks = br * C * itemsize * (4 if bwd else 2) + br * K * 4
         if fixed + tiles + blocks <= budget:
             return br
-    return 1
+    return None
+
+
+def fused_milnce_supported(R: int, K: int, C: int, itemsize: int) -> bool:
+    """True when BOTH the forward and backward kernels have a legal row block
+    within the VMEM budget for logits [.., R, K] over C-dim features."""
+    return (
+        R % 8 == 0
+        and _pick_row_block(R, K, C, itemsize, False) is not None
+        and _pick_row_block(R, K, C, itemsize, True) is not None
+    )
 
 
 @functools.partial(
@@ -451,6 +473,25 @@ def fused_milnce_elements(
         # is free under jit and its VJP sums the per-layer text gradients
         text = jnp.broadcast_to(text[None], (video.shape[0],) + text.shape)
     interpret = jax.default_backend() != "tpu"
+
+    S, R, C = video.shape
+    K = text.shape[1]
+    ndev = mesh.shape.get(data_axis, 1) if mesh is not None else 1
+    if not fused_milnce_supported(R // ndev, K, C, video.dtype.itemsize):
+        # K = B*N text columns too large for the kernel's VMEM working set
+        # (e.g. batch 256 at width 512): fall back to the dense masked
+        # logsumexps — same math, logits materialized, GSPMD-shardable
+        sim = inv_temp * jnp.einsum(
+            "src,skc->srk", video, text.astype(video.dtype)
+        ).astype(jnp.float32)
+        pos = jnp.where(pos_mask[None], sim, mask_value)
+        neg = jnp.where(col_valid[None, None, :], sim, mask_value)
+        from jax.scipy.special import logsumexp
+
+        v_el = logsumexp(neg, axis=2) - logsumexp(pos, axis=2)
+        t_el = logsumexp(neg, axis=1) - logsumexp(pos, axis=1)
+        return v_el, t_el
+
     pm = pos_mask.astype(jnp.float32)
     cv = col_valid.astype(jnp.float32)[None, :]
     if mesh is not None and mesh.shape.get(data_axis, 1) > 1:

@@ -190,3 +190,43 @@ class TestTrainPathParity:
                 np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+class TestVMEMFallback:
+    """K = B*N text columns can outgrow the kernel's VMEM working set; the
+    row-block picker must only ever choose Mosaic-legal blocks (8-divisible)
+    and callers must fall back to the dense path when nothing fits (B=128
+    crashed Mosaic lowering with an illegal br=1 block before this guard)."""
+
+    def test_pick_row_block_legal_or_none(self):
+        from temporalalignnet_tpu.ops.pallas_milnce import _pick_row_block
+
+        for R in (16, 64, 4096, 8192, 16384):
+            for K in (64, 1024, 2048, 4096, 16384):
+                for itemsize in (2, 4):
+                    for bwd in (False, True):
+                        br = _pick_row_block(R, K, 512, itemsize, bwd)
+                        assert br is None or (br % 8 == 0 and R % br == 0), (
+                            R, K, itemsize, bwd, br
+                        )
+
+    def test_supported_shapes(self):
+        from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_supported
+
+        # bench config B=64 (T=64, N=16, width 512, bf16)
+        assert fused_milnce_supported(4096, 1024, 512, 2)
+        # B=128: the backward's [K, C] t-in + dt-out + f32 acc want 16.4 MB
+        # of scoped VMEM (measured, > the 16 MB limit) — dense fallback
+        assert not fused_milnce_supported(8192, 2048, 512, 2)
+        # B=256 — even further past the budget
+        assert not fused_milnce_supported(16384, 4096, 512, 2)
+
+    def test_dense_fallback_matches_kernel(self, rng, monkeypatch):
+        import temporalalignnet_tpu.ops.pallas_milnce as pmod
+
+        v, t, pm, cv = _random_problem(rng)
+        kv, kt = fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+        monkeypatch.setattr(pmod, "fused_milnce_supported", lambda *a: False)
+        dv, dt = pmod.fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(kv), atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dt), np.asarray(kt), atol=2e-5, rtol=1e-5)
