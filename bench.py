@@ -59,7 +59,14 @@ def bench_jax() -> float:
 
     cfg = ModelConfig(use_alignability_head=True)
     on_tpu = jax.default_backend() == "tpu"
-    model = TANWithText(cfg, dtype=jnp.bfloat16, use_pallas=False)
+    # auto kernel policy (measured, IMPLEMENTATION_STATUS.md): XLA fuses the
+    # joint-encoder attention probs in VMEM up to ~B=384 window batches; at
+    # >= 512 they spill to HBM and the Pallas attention kernel wins (10.3k ->
+    # 13.1k w/s at B=512).  TAN_BENCH_PALLAS=0/1 overrides.
+    use_pallas = bool(int(
+        os.environ.get("TAN_BENCH_PALLAS", str(int(on_tpu and B >= 512)))
+    ))
+    model = TANWithText(cfg, dtype=jnp.bfloat16, use_pallas=use_pallas)
 
     rng = np.random.RandomState(0)
     video = jnp.asarray(rng.randn(B, T, CV), jnp.float32)

@@ -3,6 +3,9 @@ from temporalalignnet_tpu.checkpoint.orbax_io import (
     load_params,
     save_params,
 )
+from temporalalignnet_tpu.checkpoint.clip_convert import (
+    clip_vision_torch_to_params,
+)
 from temporalalignnet_tpu.checkpoint.s3d_convert import (
     load_milnce_checkpoint,
     s3d_torch_to_variables,
@@ -18,6 +21,7 @@ from temporalalignnet_tpu.checkpoint.torch_convert import (
 )
 
 __all__ = [
+    "clip_vision_torch_to_params",
     "Checkpointer",
     "load_params",
     "save_params",

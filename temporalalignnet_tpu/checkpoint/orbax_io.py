@@ -115,7 +115,20 @@ def load_params(path: str, abstract_params: Optional[Any] = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
     try:
         if abstract_params is None:
-            return ckptr.restore(os.path.abspath(path))
+            # restore-without-target replays the SAVED shardings, which fails
+            # when the writer ran on a different topology (e.g. a multi-process
+            # mesh read back single-process); rebuild shape/dtype targets from
+            # metadata so the restore is topology-independent
+            try:
+                meta = ckptr.metadata(os.path.abspath(path))
+                tree = meta.item_metadata.tree  # StepMetadata wrapper
+                sh = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+                abstract_params = jax.tree_util.tree_map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sh),
+                    tree,
+                )
+            except Exception:
+                return ckptr.restore(os.path.abspath(path))
         return ckptr.restore(os.path.abspath(path), abstract_params)
     finally:
         ckptr.close()

@@ -59,6 +59,35 @@ def _to_numpy(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def _hf_bert_to_flax(params: Dict[str, Any], sub: List[str], v: np.ndarray,
+                     report: Optional[List[str]]):
+    """One ``bert.{embeddings|encoder|pooler}.*`` torch key -> the
+    ``lang_model/bert/...`` FlaxBertModule leaf.
+
+    HF's torch and flax BERTs share the module path layout; only the leaf
+    conventions differ: Linear ``weight [out, in]`` -> ``kernel`` transposed,
+    LayerNorm ``weight`` -> ``scale``, ``*_embeddings.weight`` ->
+    ``embedding`` (no transpose).  The ``position_ids`` registered buffer is
+    not a parameter and is dropped."""
+    if sub[-1] == "position_ids":
+        return
+    leaf = sub[-1]
+    path = list(sub[:-1])
+    if leaf == "weight":
+        parent = path[-1]
+        if parent.endswith("_embeddings"):
+            name, vv = "embedding", v
+        elif parent == "LayerNorm":
+            name, vv = "scale", v
+        else:  # dense / query / key / value projections
+            name, vv = "kernel", v.T
+        _set(params, ["lang_model", "bert"] + path + [name], vv)
+    elif leaf == "bias":
+        _set(params, ["lang_model", "bert"] + path + ["bias"], v)
+    elif report is not None:
+        report.append(f"unrecognized bert key: {'.'.join(sub)}")
+
+
 def torch_to_params(
     state_dict: Dict[str, Any], report: Optional[List[str]] = None
 ) -> Dict[str, Any]:
@@ -85,6 +114,11 @@ def torch_to_params(
             elif sub[0] in ("fc1", "fc2"):
                 name = "kernel" if sub[1] == "weight" else "bias"
                 _set(params, ["lang_model", sub[0], name], v.T if name == "kernel" else v)
+            elif sub[0] in ("embeddings", "encoder", "pooler"):
+                # a REAL HF BertModel under self.bert (tan_model.py:37-38,
+                # language_model='bert') -> the FlaxBertModule tree under
+                # lang_model/bert (models/net.py::BertEncoder)
+                _hf_bert_to_flax(params, sub, v, report)
             elif report is not None:
                 report.append(f"unrecognized language-model key: {key}")
             continue

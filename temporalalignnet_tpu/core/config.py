@@ -154,3 +154,8 @@ class EvalConfig:
     alignability_layer: int = 2  # "3rd layer works the best" (eval_zeroshot_align.py:186)
     batch_windows: int = 32  # windows evaluated per jit call (TPU batching)
     num_clips: int = 10  # YC2 multi-window sampling (eval_zeroshot_retrieval.py)
+    # corpus eval: videos per packed-table sub-batch — each sub-batch's table
+    # device_puts and its canvas dispatches BEFORE any result is fetched, so
+    # H2D uploads stream while earlier sub-batches compute (upload-bound on
+    # slow links).  0 = one monolithic table for the whole corpus.
+    pipeline_videos: int = 8

@@ -40,6 +40,7 @@ class TrainLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Dict]] = None,
+        local_rows: Optional[tuple] = None,
     ):
         assert len(dataset) > 0, "empty dataset"
         self.dataset = dataset
@@ -50,6 +51,17 @@ class TrainLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.device_put = device_put
+        # multi-process runtime: batch_size stays the GLOBAL batch (epoch
+        # order, len(), and step counting are host-invariant), but each
+        # process only BUILDS rows [lo, hi) of every batch — the rows its
+        # devices own (parallel.mesh.local_batch_rows).  The reference's
+        # DistributedSampler parity (end2end/main_nce.py:229-231) with the
+        # per-sample RNG still keyed by GLOBAL index, so the global batch is
+        # bit-identical to a single-process run.
+        self.local_rows = local_rows
+        if local_rows is not None:
+            lo, hi = local_rows
+            assert 0 <= lo < hi <= batch_size, local_rows
         self.epoch = 0
         self.start_batch = 0
         # persistent worker pool across epochs (the reference's DataLoaderFast
@@ -92,6 +104,9 @@ class TrainLoader:
                         return
                     lo = b * self.batch_size
                     hi = min(lo + self.batch_size, len(order))
+                    if self.local_rows is not None:
+                        r0, r1 = self.local_rows
+                        lo, hi = min(lo + r0, hi), min(lo + r1, hi)
                     samples = list(self._pool.map(build_sample, range(lo, hi)))
                     q.put(stack_samples(samples))
                 q.put(None)
@@ -119,14 +134,17 @@ class TrainLoader:
 
 
 def make_device_put(mesh=None):
-    """Batch device_put callable: sharded over 'data' when a mesh is given."""
+    """Batch device_put callable: sharded over 'data' when a mesh is given.
+
+    In a multi-process runtime each process holds only its local rows and
+    put_global assembles the global jax.Array (no cross-host copies)."""
     import jax
 
     if mesh is None:
         return lambda batch: {k: jax.device_put(v) for k, v in batch.items()}
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from temporalalignnet_tpu.parallel.mesh import DATA_AXIS
+    from temporalalignnet_tpu.parallel.mesh import DATA_AXIS, put_global
 
     sh = NamedSharding(mesh, P(DATA_AXIS))
-    return lambda batch: {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return lambda batch: {k: put_global(v, sh) for k, v in batch.items()}

@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_alignability_head", type=int, default=1)
     p.add_argument("--num_clips", type=int, default=10)
     p.add_argument("--batch_windows", type=int, default=32)
+    p.add_argument("--use_pallas", default="auto", choices=["auto", "0", "1"],
+                   help="Pallas fused attention for the eval forward. auto = "
+                   "on only for window batches >= 512 on TPU, where XLA "
+                   "spills the joint-encoder attention probs to HBM and the "
+                   "kernel is measured +27%% (10.3k->13.1k w/s); below that "
+                   "XLA's own fusion wins (IMPLEMENTATION_STATUS.md)")
     p.add_argument("--shard_eval", action="store_true",
                    help="shard window batches over all local devices")
     p.add_argument("--f32", action="store_true",
@@ -138,8 +144,13 @@ def main(argv: Optional[list] = None) -> dict:
             use_alignability_head=bool(args.use_alignability_head),
             random_pos_start=False,
         )
+        use_pallas = (
+            jax.default_backend() == "tpu" and args.batch_windows >= 512
+            if args.use_pallas == "auto"
+            else args.use_pallas == "1"
+        )
         model = TANWithText(mcfg, vocab_size=tokenizer.vocab_size, dtype=dtype,
-                            bert_config=bert_config)
+                            bert_config=bert_config, use_pallas=use_pallas)
     init_params = None if baseline else model.init(
         {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
         jnp.zeros((1, 8, args.video_embed_dim)),

@@ -1,4 +1,5 @@
 from temporalalignnet_tpu.models.baseline import RawFeatureBaseline
+from temporalalignnet_tpu.models.clip_vit import CLIPImageEncoder
 from temporalalignnet_tpu.models.net import BertEncoder, TANWithText
 from temporalalignnet_tpu.models.posenc import (
     linear_interpolate,
@@ -16,6 +17,7 @@ from temporalalignnet_tpu.models.transformer import (
 from temporalalignnet_tpu.models.word2vec import Word2VecEncoder, Word2VecTokenizer
 
 __all__ = [
+    "CLIPImageEncoder",
     "TemporalEncoder",
     "TemporalDecoder",
     "ResidualAttentionBlock",

@@ -65,6 +65,43 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def local_batch_rows(mesh: Mesh, global_batch: int) -> tuple:
+    """[lo, hi) rows of a batch-sharded global array owned by THIS process.
+
+    The multi-process DistributedSampler parity (reference
+    end2end/main_nce.py:229-231): every host derives the same global epoch
+    order, then builds only the rows its own devices hold under
+    P('data'), so jax.make_array_from_process_local_data can assemble the
+    global batch without cross-host copies.  Asserts contiguity — the
+    meshes built here keep each process's devices adjacent on the data
+    axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    slices = sh.addressable_devices_indices_map((global_batch,)).values()
+    starts = [s[0].start or 0 for s in slices]
+    stops = [global_batch if s[0].stop is None else s[0].stop for s in slices]
+    lo, hi = min(starts), max(stops)
+    owned = {(a, b) for a, b in zip(starts, stops)}  # dedup tp replicas
+    assert sum(b - a for a, b in owned) == hi - lo, (
+        "process's batch rows are not contiguous under this mesh; "
+        "reorder devices so each process owns one slab of the data axis"
+    )
+    return int(lo), int(hi)
+
+
+def put_global(value, sharding: NamedSharding):
+    """device_put that works in single- AND multi-process runtimes.
+
+    Single-process: plain device_put of the full array.  Multi-process: the
+    caller passes this process's LOCAL shard (the rows local_batch_rows says
+    it owns) and the global jax.Array is assembled from per-process pieces —
+    the jax.make_array_from_process_local_data shape of the reference's
+    DistributedSampler + DDP feed (end2end/main_nce.py:229-231,283-285),
+    where data never crosses hosts."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(value))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

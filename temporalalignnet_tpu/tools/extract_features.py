@@ -121,3 +121,36 @@ def make_s3d_encoder(variables, dtype=None) -> Callable[[np.ndarray], np.ndarray
         return model.apply(variables, clips, return_embedding=True)
 
     return lambda x: encode(jnp.asarray(x))
+
+
+def make_clip_encoder(params, dtype=None, normalize=True,
+                      **tower_kwargs) -> Callable[[np.ndarray], np.ndarray]:
+    """Jitted CLIP-ViT clip encoder: [B, T, H, W, 3] uint8 frames -> [B, E].
+
+    The reference extractor runs CLIP at fps 1 with per-frame features
+    (htm_zoo/visual/extract_feature_template.py:236-307); frames within the
+    1-second window are mean-pooled (T is 1 there).  ``params`` comes from
+    checkpoint/clip_convert.py::clip_vision_torch_to_params; ``tower_kwargs``
+    select the variant (defaults: ViT-B/32; see models/clip_vit.py for L/14).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from temporalalignnet_tpu.models.clip_vit import (
+        CLIPImageEncoder,
+        preprocess_frames,
+    )
+
+    model = CLIPImageEncoder(dtype=dtype or jnp.float32, **tower_kwargs)
+
+    @jax.jit
+    def encode(frames):
+        B, T = frames.shape[:2]
+        x = preprocess_frames(frames.reshape((B * T,) + frames.shape[2:]))
+        feats = model.apply({"params": params}, x)
+        feats = feats.reshape(B, T, -1).mean(axis=1)
+        if normalize:  # CLIP similarity is cosine (eval --baseline_sim cos)
+            feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8)
+        return feats
+
+    return lambda x: encode(jnp.asarray(x))

@@ -55,11 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_alignability_head", type=int, default=0)
     p.add_argument("--video_embed_dim", type=int, default=1024)
     # loss (train/config.py:21-30)
-    p.add_argument("--fused_milnce", type=int, default=0,
-                   help="1 = fused sim+masked-logsumexp MIL-NCE Pallas kernel "
-                        "(measured +4%% Stage-1 / +16%% Stage-2 steps/s; under "
-                        "a multi-chip mesh it runs per-device via shard_map "
-                        "with pmax/psum column-lse merge)")
+    p.add_argument("--fused_milnce", default="auto", choices=["auto", "0", "1"],
+                   help="fused sim+masked-logsumexp MIL-NCE Pallas kernel "
+                        "(measured +4%% Stage-1 / +16%% Stage-2 steps/s at "
+                        "B<=96 via the untiled plan; ~par with the XLA logits "
+                        "path at B>=128 via the column-tiled plan, with far "
+                        "lower HBM pressure — no [B,S,T,B,N] logits. Under a "
+                        "multi-chip mesh it runs per-device via shard_map "
+                        "with pmax/psum column-lse merge. auto = on whenever "
+                        "fused_milnce_supported says a kernel plan exists "
+                        "for the training shape)")
     p.add_argument("--loss_threshold", type=float, default=0.0)
     p.add_argument("--learn_agreement", type=int, default=0)
     p.add_argument("--temporal_agreement_type", default="keep",
@@ -96,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="debug: run op-by-op (jax.disable_jit)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize for multi-host pods")
+    p.add_argument("--coordinator", default=None,
+                   help="explicit coordinator address host:port for --multihost "
+                   "(autodetected on Cloud TPU pods / SLURM when omitted)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     # infra
     p.add_argument("--prefix", default="exp", help="experiment dir root")
     p.add_argument("--name_prefix", default="")
@@ -139,7 +149,11 @@ def main(argv: Optional[list] = None) -> dict:
     if args.multihost:
         from temporalalignnet_tpu.parallel.distributed import initialize_multihost
 
-        initialize_multihost()
+        initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     if args.disable_jit:
         jax.config.update("jax_disable_jit", True)
 
@@ -188,6 +202,25 @@ def main(argv: Optional[list] = None) -> dict:
         args.learn_agreement = 1
         args.use_alignability_head = 1
 
+    # fused MIL-NCE: a measured win (or par with lower HBM pressure) wherever
+    # a kernel plan exists, so 'auto' resolves against the training shape
+    # (R=B*T rows / K=B*N text columns over width-C features; per-device rows
+    # under a dp mesh — use the conservative single-device R, the sharded
+    # path only shrinks it)
+    if args.fused_milnce == "auto":
+        from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_supported
+
+        itemsize = 2 if jax.default_backend() == "tpu" else 4
+        fused = fused_milnce_supported(
+            args.batch_size * args.seq_len,
+            args.batch_size * args.max_sentences,
+            args.width,
+            itemsize,
+        )
+        print(f"[fused_milnce] auto -> {int(fused)}")
+    else:
+        fused = args.fused_milnce == "1"
+
     mcfg = ModelConfig(
         width=args.width,
         heads=args.heads,
@@ -199,7 +232,7 @@ def main(argv: Optional[list] = None) -> dict:
         pos_enc=args.pos_enc,
         use_text_pos_enc=bool(args.use_text_pos_enc),
         use_alignability_head=bool(args.use_alignability_head),
-        fused_milnce=bool(args.fused_milnce),
+        fused_milnce=fused,
     )
     loss_cfg = LossConfig(
         model=args.model,
@@ -209,7 +242,7 @@ def main(argv: Optional[list] = None) -> dict:
         loss_threshold=args.loss_threshold,
         use_alignability_head=bool(args.use_alignability_head),
         optim_policy=args.optim_policy,
-        use_fused_milnce=bool(args.fused_milnce),
+        use_fused_milnce=fused,
     )
     dcfg = DataConfig(
         seq_len=args.seq_len,
@@ -264,13 +297,28 @@ def main(argv: Optional[list] = None) -> dict:
         tp_size=args.tp,
     )
 
-    # ---- experiment dir + config dump (train/config.py:56-87)
+    # ---- experiment dir + config dump (train/config.py:56-87); side effects
+    # master-gated in a multi-process runtime (main_nce.py:119,406-407)
+    from temporalalignnet_tpu.parallel.distributed import is_master
+
     exp_dir = os.path.join(args.prefix, experiment_name(args))
-    os.makedirs(exp_dir, exist_ok=True)
-    with open(os.path.join(exp_dir, "running_command.txt"), "a") as f:
-        f.write(json.dumps(vars(args)) + "\n")
+    if is_master():
+        os.makedirs(exp_dir, exist_ok=True)
+        with open(os.path.join(exp_dir, "running_command.txt"), "a") as f:
+            f.write(json.dumps(vars(args)) + "\n")
 
     mesh = make_mesh(args.dp, args.tp) if jax.device_count() > 1 else None
+    # multi-process feed: every host derives the same global epoch order but
+    # builds only the batch rows its devices own (DistributedSampler parity,
+    # end2end/main_nce.py:229-231); put_global assembles the global arrays
+    local_rows = None
+    if jax.process_count() > 1:
+        from temporalalignnet_tpu.parallel.mesh import local_batch_rows
+
+        assert mesh is not None, "multi-process runtime requires a mesh"
+        local_rows = local_batch_rows(mesh, args.batch_size)
+        print(f"[multihost] process {jax.process_index()}/{jax.process_count()} "
+              f"builds batch rows [{local_rows[0]}, {local_rows[1]})")
     model = TANWithText(
         mcfg, vocab_size=tokenizer.vocab_size, dtype=jnp.bfloat16
         if jax.default_backend() == "tpu" else jnp.float32,
@@ -331,6 +379,7 @@ def main(argv: Optional[list] = None) -> dict:
         num_workers=args.num_workers,
         # grouped dispatch stacks K host batches then device_puts the stack
         device_put=make_device_put(mesh) if (mesh and k_disp == 1) else None,
+        local_rows=local_rows,
     )
     sample = dataset.sample(0, rng)
     sample_batch = {
@@ -448,7 +497,9 @@ def main(argv: Optional[list] = None) -> dict:
         step_fn = make_multi_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
     else:
         step_fn = make_train_step(model, tx, tcfg, loss_cfg, mesh=mesh)
-    writer = MetricsWriter(exp_dir)
+    # metrics/checkpoint writes are master-only in a multi-process runtime
+    # (reference master-gates TB + ckpt, main_nce.py:119,193-200,388)
+    writer = MetricsWriter(exp_dir) if is_master() else None
     timer = StepTimer()
     breakdown = StepBreakdown()
 
@@ -510,7 +561,7 @@ def main(argv: Optional[list] = None) -> dict:
                     if np.isfinite(loss):  # NaN excluded from meters (main.py:108-109)
                         loss_meter.update(loss)
                     sps = timer.tick()
-                    if global_step % args.log_every == 0:
+                    if global_step % args.log_every == 0 and writer is not None:
                         scalars = {k: float(v) for k, v in metrics.items()}
                         scalars["device/sps"] = sps
                         scalars.update(
@@ -528,28 +579,50 @@ def main(argv: Optional[list] = None) -> dict:
                     global_step // args.runtime_save_iter
                     > last_check // args.runtime_save_iter
                 ):
-                    ckpt.save_runtime(jax.device_get(state), global_step)
+                    # orbax saves are multi-process coordinated — EVERY
+                    # process must call save (orbax master-gates the writes
+                    # and barriers internally); do not is_master()-gate this.
+                    # The on-device state goes straight to orbax: its async
+                    # save stages d2h then writes on a background thread, so
+                    # the step chain never waits for the disk (an explicit
+                    # device_get here serializes the full fetch first —
+                    # measured multi-second through the tunnel).
+                    ckpt.save_runtime(state, global_step)
                     evaluate_downstream(state.params, global_step, writer)
                 last_check = global_step
                 if args.max_steps and global_step >= args.max_steps:
+                    if global_step > args.max_steps:
+                        # grouped dispatch: state only exists at group
+                        # granularity, so the final group may run past
+                        # --max_steps — say so instead of stopping silently
+                        print(
+                            f"[stop] --steps_per_dispatch group overshot "
+                            f"--max_steps {args.max_steps} by "
+                            f"{global_step - args.max_steps} steps "
+                            f"(stopped at {global_step})"
+                        )
                     stop = True
                     break
                 t_data = time.perf_counter()
             final_metrics = evaluate_downstream(state.params, global_step, writer) \
                 if (epoch + 1) % args.eval_every_epochs == 0 else final_metrics
-            ckpt.save_epoch(jax.device_get(state), epoch, final_metrics)
+            # orbax coordinates multi-process writes itself — all processes
+            # must participate (no is_master gate, see save_runtime above);
+            # on-device state: async save, no explicit device_get fetch
+            ckpt.save_epoch(state, epoch, final_metrics)
             # bare-params export: the portable artifact --pretrain consumes
             from temporalalignnet_tpu.checkpoint import save_params
 
             save_params(
                 os.path.join(exp_dir, "params_latest"),
-                jax.device_get(state.params),
+                state.params,
                 overwrite=True,
             )
 
     ckpt.wait()
     ckpt.close()
-    writer.close()
+    if writer is not None:
+        writer.close()
     print(json.dumps({"final_step": global_step, **final_metrics}))
     return final_metrics
 

@@ -222,11 +222,18 @@ def stack_batches(batches, mesh: Optional[Mesh] = None) -> Dict[str, jnp.ndarray
     }
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in stacked.items()}
+    from temporalalignnet_tpu.parallel.mesh import put_global
+
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    return {k: jax.device_put(v, sh) for k, v in stacked.items()}
+    return {k: put_global(v, sh) for k, v in stacked.items()}
 
 
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
-    """device_put a host batch with the leading axis sharded over 'data'."""
+    """Place a host batch with the leading axis sharded over 'data'.
+
+    Multi-process aware: each process passes its local rows and put_global
+    assembles the global array (jax.make_array_from_process_local_data)."""
+    from temporalalignnet_tpu.parallel.mesh import put_global
+
     sh = NamedSharding(mesh, P(DATA_AXIS))
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {k: put_global(v, sh) for k, v in batch.items()}

@@ -161,3 +161,50 @@ def test_bert_params_fully_trainable(rng):
     embd_moved = [k for k in moved if "word_embeddings" in k]
     assert embd_moved, "BERT word_embeddings must be trainable"
     assert len(moved) > len(flat_b) * 0.5, f"too few BERT params updated: {len(moved)}/{len(flat_b)}"
+
+
+def test_bert_checkpoint_conversion_parity(rng):
+    """A torch BERT-TAN state_dict (HF BertModel under ``bert.*``,
+    tan_model.py:37-40) converts through torch_to_params and the flax
+    BertEncoder reproduces torch BertModel activations (VERDICT r2 weak #6:
+    the converter previously only mapped the word2vec ``bert.*`` aliases)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from temporalalignnet_tpu.checkpoint.torch_convert import torch_to_params
+    from temporalalignnet_tpu.models.net import BertEncoder
+
+    bcfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    tb = BertModel(bcfg).eval()
+    sd = {f"bert.{k}": v for k, v in tb.state_dict().items()}
+    report = []
+    params = torch_to_params(sd, report)
+    assert not [r for r in report if "unrecognized" in r], report
+
+    ids = rng.randint(1, 120, (3, 9)).astype(np.int32)
+    mask = (rng.rand(3, 9) < 0.8).astype(np.int32)
+    mask[:, 0] = 1  # CLS always valid
+
+    enc = BertEncoder(hf_config=bcfg)
+    out = enc.apply({"params": params["lang_model"]},
+                    jnp.asarray(ids), jnp.asarray(mask))
+    with torch.no_grad():
+        ref = tb(input_ids=torch.tensor(ids.astype(np.int64)),
+                 attention_mask=torch.tensor(mask.astype(np.int64)),
+                 token_type_ids=torch.zeros(3, 9, dtype=torch.long))
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]),
+        ref.last_hidden_state.numpy(), atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pooler_output"]),
+        ref.pooler_output.numpy(), atol=2e-5, rtol=1e-4,
+    )

@@ -211,15 +211,106 @@ class TestVMEMFallback:
                         )
 
     def test_supported_shapes(self):
-        from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_supported
+        from temporalalignnet_tpu.ops.pallas_milnce import (
+            _pick_row_block,
+            _pick_tiled_blocks,
+            fused_milnce_supported,
+        )
 
-        # bench config B=64 (T=64, N=16, width 512, bf16)
+        # bench config B=64 (T=64, N=16, width 512, bf16): untiled fits
         assert fused_milnce_supported(4096, 1024, 512, 2)
-        # B=128: the backward's [K, C] t-in + dt-out + f32 acc want 16.4 MB
-        # of scoped VMEM (measured, > the 16 MB limit) — dense fallback
-        assert not fused_milnce_supported(8192, 2048, 512, 2)
-        # B=256 — even further past the budget
-        assert not fused_milnce_supported(16384, 4096, 512, 2)
+        assert _pick_row_block(4096, 1024, 512, 2, True) is not None
+        # B=128: the untiled backward's [K, C] t-in + dt-out + f32 acc want
+        # 16.4 MB of scoped VMEM (measured > the 16 MB limit) — the
+        # column-tiled kernels take over instead of the dense fallback
+        assert _pick_row_block(8192, 2048, 512, 2, True) is None
+        assert fused_milnce_supported(8192, 2048, 512, 2)
+        # B=256: tiled as well (forward also outgrows the untiled budget)
+        assert fused_milnce_supported(16384, 4096, 512, 2)
+        # f32 at B=256 still fits tiled
+        assert fused_milnce_supported(16384, 4096, 512, 4)
+        # K not a 128-multiple and untiled too big -> genuinely unsupported
+        assert not fused_milnce_supported(16384, 4056, 512, 4)
+
+    def test_pick_tiled_blocks_legal(self):
+        from temporalalignnet_tpu.ops.pallas_milnce import _pick_tiled_blocks
+
+        for R in (16, 64, 4096, 8192, 16384):
+            for K in (128, 1024, 2048, 4096, 16384):
+                for itemsize in (2, 4):
+                    for bwd in (False, True):
+                        got = _pick_tiled_blocks(R, K, 512, itemsize, bwd)
+                        if got is None:
+                            continue
+                        br, bc = got
+                        assert br % 8 == 0 and R % br == 0, (R, K, br)
+                        assert bc % 128 == 0 and K % bc == 0, (R, K, bc)
+
+    def test_tiled_forward_matches_oracle(self, rng, monkeypatch):
+        """Column-tiled kernel path (forced): multi-block in BOTH grid axes,
+        fully-masked row included."""
+        import temporalalignnet_tpu.ops.pallas_milnce as pmod
+
+        v, t, pm, cv = _random_problem(rng, S=2, R=32, K=256, C=32)
+        pm = pm.at[3].set(False)
+        monkeypatch.setattr(pmod, "_pick_row_block", lambda *a: None)
+        monkeypatch.setattr(pmod, "_pick_tiled_blocks", lambda *a: (8, 128))
+        rv, rt = _oracle(v, t, pm, cv, INV_TEMP)
+        fv, ft = pmod.fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+        assert np.isfinite(np.asarray(fv)).all()
+        np.testing.assert_allclose(np.asarray(fv), np.asarray(rv), atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ft), np.asarray(rt), atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("shared_text", [False, True])
+    def test_tiled_grad_matches_oracle(self, rng, monkeypatch, shared_text):
+        """Forced tiled path: the two-kernel backward (dv streams columns,
+        dt streams rows) vs XLA autodiff on the dense oracle."""
+        import temporalalignnet_tpu.ops.pallas_milnce as pmod
+
+        S, R, K, C = 2, 32, 256, 32
+        v = jnp.asarray(rng.randn(S, R, C), jnp.float32)
+        t = jnp.asarray(rng.randn(S, K, C), jnp.float32)
+        pm = jnp.asarray(rng.rand(R, K) < 0.2)
+        cv = jnp.asarray(rng.rand(K) < 0.8)
+        pm = (pm & cv[None]).at[3].set(False)
+        if shared_text:
+            t = t[0]
+        monkeypatch.setattr(pmod, "_pick_row_block", lambda *a: None)
+        monkeypatch.setattr(pmod, "_pick_tiled_blocks", lambda *a: (8, 128))
+        w1 = jnp.asarray(rng.randn(S, R), jnp.float32)
+        w2 = jnp.asarray(rng.randn(S, K), jnp.float32)
+
+        def loss_ref(v, t):
+            tt = jnp.broadcast_to(t[None], (S,) + t.shape) if shared_text else t
+            a, b = _oracle(v, tt, pm, cv, INV_TEMP)
+            return jnp.sum(a * w1) + jnp.sum(b * w2)
+
+        def loss_fused(v, t):
+            a, b = pmod.fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
+            return jnp.sum(a * w1) + jnp.sum(b * w2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(v, t)
+        gf = jax.grad(loss_fused, argnums=(0, 1))(v, t)
+        atol = 5e-4 if jax.default_backend() != "tpu" else 3e-3
+        for a, b, name in zip(gr, gf, ["dv", "dt"]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=atol, rtol=6 * atol, err_msg=name
+            )
+
+    def test_tiled_matches_untiled(self, rng):
+        """Auto-dispatch sanity: the tiled plan (forced via private calls)
+        reproduces the untiled kernel bit-for-bit-ish on the same input."""
+        import temporalalignnet_tpu.ops.pallas_milnce as pmod
+
+        v, t, pm, cv = _random_problem(rng, S=2, R=16, K=128, C=32)
+        pmf = pm.astype(jnp.float32)
+        cvf = cv.astype(jnp.float32)[None, :]
+        un = pmod._fwd_call(v, t, pmf, cvf, True, INV_TEMP, MV, 8)
+        ti = pmod._fwd_call_tiled(v, t, pmf, cvf, True, INV_TEMP, MV, 8, 128)
+        for a, b in zip(un, ti):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-6
+            )
 
     def test_dense_fallback_matches_kernel(self, rng, monkeypatch):
         import temporalalignnet_tpu.ops.pallas_milnce as pmod
