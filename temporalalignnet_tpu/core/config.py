@@ -156,6 +156,10 @@ class EvalConfig:
     num_clips: int = 10  # YC2 multi-window sampling (eval_zeroshot_retrieval.py)
     # corpus eval: videos per packed-table sub-batch — each sub-batch's table
     # device_puts and its canvas dispatches BEFORE any result is fetched, so
-    # H2D uploads stream while earlier sub-batches compute (upload-bound on
-    # slow links).  0 = one monolithic table for the whole corpus.
-    pipeline_videos: int = 8
+    # H2D uploads can stream while earlier sub-batches compute.  Default 0 =
+    # one monolithic deduped table: MEASURED FASTER on the axon tunnel
+    # (80-video corpus, same session: 17.6-20.3 s monolithic vs 26.6-36.1 s
+    # at 8 — the tunnel serializes transfers with dispatch, so sub-batching
+    # only adds per-transfer latency and pad rows).  Set >0 only on hosts
+    # with genuinely async H2D.
+    pipeline_videos: int = 0

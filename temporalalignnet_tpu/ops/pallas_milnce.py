@@ -690,33 +690,51 @@ def _bwd_call_tiled(v, t, pm, cv, vnum, vden, tnum, tden, gvn, gvd, gtn, gtd,
     return dv, dt
 
 
+def _plan(R: int, K: int, C: int, itemsize: int, bwd: bool):
+    """('full', br) | ('tiled', br, bc) | None.
+
+    Untiled whenever it fits, tiled otherwise.  MEASURED (stage-2 B=256
+    bf16, v5e): preferring the tiled fwd (512x256 tiles) over a
+    degenerate-br untiled fwd (br=8) LOST ~10% (5.54 vs 6.16 steps/s) —
+    the untiled plan's resident text block and single pm pass beat the
+    tiled plan's per-column-block refetch traffic even at 8-row matmul
+    tiles.  Don't re-try a "healthier MXU tile" preference without new
+    evidence."""
+    br = _pick_row_block(R, K, C, itemsize, bwd)
+    if br is not None:
+        return ("full", br)
+    tiled = _pick_tiled_blocks(R, K, C, itemsize, bwd)
+    if tiled is not None:
+        return ("tiled",) + tiled
+    return None
+
+
 def _run_fwd(v, t, pm, cv, interpret, inv_temp, mask_value):
-    """Dispatch: untiled full-K kernel when it fits (the measured-tuned
-    path), else the column-tiled kernel.  Returns the raw (lse, lse, m, s,
-    m, s) contract shared by both."""
+    """Dispatch per _plan.  Returns the raw (lse, lse, m, s, m, s) contract
+    shared by both kernel plans."""
     S, R, C = v.shape
     K = t.shape[1]
-    br = _pick_row_block(R, K, C, v.dtype.itemsize, False)
-    if br is not None:
-        return _fwd_call(v, t, pm, cv, interpret, inv_temp, mask_value, br)
-    br, bc = _pick_tiled_blocks(R, K, C, v.dtype.itemsize, False)
-    return _fwd_call_tiled(v, t, pm, cv, interpret, inv_temp, mask_value, br, bc)
+    plan = _plan(R, K, C, v.dtype.itemsize, False)
+    if plan[0] == "full":
+        return _fwd_call(v, t, pm, cv, interpret, inv_temp, mask_value, plan[1])
+    return _fwd_call_tiled(
+        v, t, pm, cv, interpret, inv_temp, mask_value, plan[1], plan[2]
+    )
 
 
 def _run_bwd(v, t, pm, cv, vnum, vden, tnum, tden, gvn, gvd, gtn, gtd,
              interpret, inv_temp, mask_value):
     S, R, C = v.shape
     K = t.shape[1]
-    br = _pick_row_block(R, K, C, v.dtype.itemsize, True)
-    if br is not None:
+    plan = _plan(R, K, C, v.dtype.itemsize, True)
+    if plan[0] == "full":
         return _bwd_call(
             v, t, pm, cv, vnum, vden, tnum, tden,
-            gvn, gvd, gtn, gtd, interpret, inv_temp, mask_value, br,
+            gvn, gvd, gtn, gtd, interpret, inv_temp, mask_value, plan[1],
         )
-    br, bc = _pick_tiled_blocks(R, K, C, v.dtype.itemsize, True)
     return _bwd_call_tiled(
         v, t, pm, cv, vnum, vden, tnum, tden,
-        gvn, gvd, gtn, gtd, interpret, inv_temp, mask_value, br, bc,
+        gvn, gvd, gtn, gtd, interpret, inv_temp, mask_value, plan[1], plan[2],
     )
 
 

@@ -131,6 +131,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_fused_milnce(flag: str, batch_size: int, seq_len: int,
+                         max_sentences: int, width: int,
+                         backend: Optional[str] = None) -> bool:
+    """'auto'/'0'/'1' -> concrete kernel decision for the training shape.
+
+    auto = on TPU whenever a kernel plan (untiled or column-tiled) exists for
+    R=B*T rows x K=B*N text columns over width-C features (measured +16%
+    stage-2 at B<=96, par with lower HBM pressure at B>=128).  Uses the
+    conservative single-device R; a dp mesh only shrinks per-device rows.
+    Off-TPU auto resolves to False: there the kernel runs in interpreter
+    mode (a test vehicle, strictly slower than XLA) — force with '1'.
+    """
+    if flag != "auto":
+        return flag == "1"
+    import jax
+
+    if (backend or jax.default_backend()) != "tpu":
+        return False
+    return fused_milnce_supported_for(batch_size, seq_len, max_sentences, width)
+
+
+def fused_milnce_supported_for(batch_size: int, seq_len: int,
+                               max_sentences: int, width: int) -> bool:
+    from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_supported
+
+    return fused_milnce_supported(
+        batch_size * seq_len, batch_size * max_sentences, width, 2
+    )
+
+
 def experiment_name(args) -> str:
     """Hyperparams-in-dirname convention (reference train/config.py:69-74)."""
     return (
@@ -202,24 +232,12 @@ def main(argv: Optional[list] = None) -> dict:
         args.learn_agreement = 1
         args.use_alignability_head = 1
 
-    # fused MIL-NCE: a measured win (or par with lower HBM pressure) wherever
-    # a kernel plan exists, so 'auto' resolves against the training shape
-    # (R=B*T rows / K=B*N text columns over width-C features; per-device rows
-    # under a dp mesh — use the conservative single-device R, the sharded
-    # path only shrinks it)
+    fused = resolve_fused_milnce(
+        args.fused_milnce, args.batch_size, args.seq_len,
+        args.max_sentences, args.width,
+    )
     if args.fused_milnce == "auto":
-        from temporalalignnet_tpu.ops.pallas_milnce import fused_milnce_supported
-
-        itemsize = 2 if jax.default_backend() == "tpu" else 4
-        fused = fused_milnce_supported(
-            args.batch_size * args.seq_len,
-            args.batch_size * args.max_sentences,
-            args.width,
-            itemsize,
-        )
         print(f"[fused_milnce] auto -> {int(fused)}")
-    else:
-        fused = args.fused_milnce == "1"
 
     mcfg = ModelConfig(
         width=args.width,

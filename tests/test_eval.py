@@ -160,6 +160,30 @@ class TestAlignmentEvaluator:
                 a["align_score"], b["align_score"], atol=2e-5
             )
 
+    def test_pipelined_corpus_matches_monolithic(self, rng):
+        """pipeline_videos>0 (per-sub-batch packed tables, uploads dispatched
+        before any result fetch) must reproduce the monolithic-table corpus
+        path exactly — only the H2D schedule differs.  Duplicate 'vid' keys
+        included (dedup is per sub-batch in the pipelined path)."""
+        import copy
+
+        model, params = tiny_model()
+        corpus = make_corpus(rng, num_videos=4)
+        for i, item in enumerate(corpus):
+            item["vid"] = f"v{i}"
+        corpus.append(copy.deepcopy(corpus[0]))  # duplicate vid key + content
+        mono = AlignmentEvaluator(
+            model, params, EvalConfig(seq_len=32, pipeline_videos=0)
+        ).evaluate_corpus_batched(corpus)
+        piped = AlignmentEvaluator(
+            model, params, EvalConfig(seq_len=32, pipeline_videos=2)
+        ).evaluate_corpus_batched(corpus)
+        for a, b in zip(mono, piped):
+            np.testing.assert_allclose(b["sim"], a["sim"], atol=2e-5)
+            np.testing.assert_allclose(
+                b["align_score"], a["align_score"], atol=2e-5
+            )
+
     def test_sharded_eval_matches_single_device(self, rng):
         """Window batches sharded over an 8-device 'data' axis must reproduce
         single-device metrics exactly (windows are independent)."""

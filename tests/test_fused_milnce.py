@@ -321,3 +321,36 @@ class TestVMEMFallback:
         dv, dt = pmod.fused_milnce_elements(v, t, pm, cv, MV, INV_TEMP)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(kv), atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(dt), np.asarray(kt), atol=2e-5, rtol=1e-5)
+
+
+class TestAutoDefault:
+    """VERDICT r2 next-do #4: measured wins ship ON by default, behind the
+    support gate."""
+
+    def test_train_cli_auto_resolution(self):
+        from temporalalignnet_tpu.train.cli import build_parser, resolve_fused_milnce
+
+        # default is auto
+        args = build_parser().parse_args(["--feature_dir", "x", "--captions", "y"])
+        assert args.fused_milnce == "auto"
+        # flagship shape (B=64, T=64, N=16, width 512): kernel plan exists
+        assert resolve_fused_milnce("auto", 64, 64, 16, 512, backend="tpu")
+        # B=128/256 now resolve on too (column-tiled plans)
+        assert resolve_fused_milnce("auto", 128, 64, 16, 512, backend="tpu")
+        assert resolve_fused_milnce("auto", 256, 64, 16, 512, backend="tpu")
+        # off-TPU the interpret-mode kernel is a test vehicle, not a win
+        assert not resolve_fused_milnce("auto", 64, 64, 16, 512, backend="cpu")
+        # explicit override wins on any backend
+        assert not resolve_fused_milnce("0", 64, 64, 16, 512, backend="tpu")
+        assert resolve_fused_milnce("1", 64, 64, 16, 512, backend="cpu")
+        # a shape with no legal plan (K=B*N not 128-divisible at a size
+        # where nothing fits untiled) resolves off even on TPU
+        assert not resolve_fused_milnce("auto", 312, 52, 13, 512, backend="tpu")
+
+    def test_eval_cli_auto_pallas_default(self):
+        from temporalalignnet_tpu.eval.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["--task", "align", "--features", "x", "--anno", "y"]
+        )
+        assert args.use_pallas == "auto"
