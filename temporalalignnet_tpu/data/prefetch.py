@@ -62,6 +62,12 @@ class TrainLoader:
         if local_rows is not None:
             lo, hi = local_rows
             assert 0 <= lo < hi <= batch_size, local_rows
+            # a partial final batch would give processes unequal (possibly
+            # empty) row slices that put_global cannot assemble into one
+            # global array — multi-process feeding requires full batches
+            # (the reference's DistributedSampler likewise pads/drops to a
+            # rank-divisible length, end2end/main_nce.py:229-231)
+            assert drop_last, "local_rows requires drop_last=True"
         self.epoch = 0
         self.start_batch = 0
         # persistent worker pool across epochs (the reference's DataLoaderFast

@@ -58,11 +58,13 @@ class AlignmentEvaluator:
             # load_params, or a plain device array) conflict with mesh-sharded
             # batches inside jit; replicate those onto the mesh.  Already
             # mesh-placed (multi-device) params — e.g. TP-sharded — are kept.
+            from temporalalignnet_tpu.parallel.mesh import put_from_host
+
             rep = NamedSharding(mesh, P())
             self.params = jax.tree_util.tree_map(
                 lambda x: x
                 if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
-                else jax.device_put(x, rep),
+                else put_from_host(x, rep),
                 params,
             )
         a_layer = min(cfg.alignability_layer, model.cfg.num_joint_layers - 1)
@@ -436,9 +438,13 @@ class AlignmentEvaluator:
             )
             for bidxs in batches:
                 take = list(bidxs) + [bidxs[-1]] * ((-len(bidxs)) % dp)
-                uniq: Dict = {}
-                for i in take:
-                    uniq.setdefault(vid_keys[i], preps[i]["video"])
+                # per-sub-batch uniq tables only exist in pipelined mode;
+                # the monolithic default packs one corpus-wide table below
+                uniq: Optional[Dict] = None
+                if gsz > 0:
+                    uniq = {}
+                    for i in take:
+                        uniq.setdefault(vid_keys[i], preps[i]["video"])
                 plan.append(((Vb, Wb, Nb), bidxs, take, uniq))
 
         if gsz <= 0:
@@ -475,12 +481,16 @@ class AlignmentEvaluator:
             def stacked(key, take=take):
                 arr = np.stack([preps[i][key] for i in take])
                 if self._batch_sharding is not None:
-                    return jax.device_put(arr, self._batch_sharding)
+                    from temporalalignnet_tpu.parallel.mesh import put_from_host
+
+                    return put_from_host(arr, self._batch_sharding)
                 return jnp.asarray(arr)
 
             row_off = np.asarray(offs, np.int32)
             if self._batch_sharding is not None:
-                row_off = jax.device_put(row_off, self._batch_sharding)
+                from temporalalignnet_tpu.parallel.mesh import put_from_host
+
+                row_off = put_from_host(row_off, self._batch_sharding)
             ids = stacked("ids")  # [V, Nb, W]; encode_text vmaps leading dims
             text = self._encode_text(self.params, ids)
             sim_d, align_d = self._video_canvas_batched(
@@ -496,9 +506,11 @@ class AlignmentEvaluator:
             )
             pending.append((bidxs, sim_d, align_d))
 
+        from temporalalignnet_tpu.parallel.mesh import fetch_global
+
         for bidxs, sim_d, align_d in pending:
-            sim_h = np.asarray(sim_d)
-            align_h = np.asarray(align_d)
+            sim_h = fetch_global(sim_d)
+            align_h = fetch_global(align_d)
             for k, i in enumerate(bidxs):
                 n, v = preps[i]["n_text"], preps[i]["vlen"]
                 results[i] = {
@@ -511,7 +523,9 @@ class AlignmentEvaluator:
         if self._batch_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            return jax.device_put(
+            from temporalalignnet_tpu.parallel.mesh import put_from_host
+
+            return put_from_host(
                 table, NamedSharding(self._batch_sharding.mesh, P())
             )
         return jnp.asarray(table)

@@ -49,10 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_windows", type=int, default=32)
     p.add_argument("--use_pallas", default="auto", choices=["auto", "0", "1"],
                    help="Pallas fused attention for the eval forward. auto = "
-                   "on only for window batches >= 512 on TPU, where XLA "
-                   "spills the joint-encoder attention probs to HBM and the "
-                   "kernel is measured +27%% (10.3k->13.1k w/s); below that "
-                   "XLA's own fusion wins (IMPLEMENTATION_STATUS.md)")
+                   "off: both CLI tasks run paths where XLA fusion is the "
+                   "measured winner (the align corpus canvas loses with the "
+                   "kernel, 5.8 vs 5.1 s; retrieval never batches >= 512 "
+                   "windows).  The kernel's measured +27%% win is the "
+                   "WINDOWED forward at batches >= 512 (bench.py gates that "
+                   "itself); pass 1 to force it here (IMPLEMENTATION_STATUS.md)")
     p.add_argument("--shard_eval", action="store_true",
                    help="shard window batches over all local devices")
     p.add_argument("--f32", action="store_true",
@@ -144,11 +146,11 @@ def main(argv: Optional[list] = None) -> dict:
             use_alignability_head=bool(args.use_alignability_head),
             random_pos_start=False,
         )
-        use_pallas = (
-            jax.default_backend() == "tpu" and args.batch_windows >= 512
-            if args.use_pallas == "auto"
-            else args.use_pallas == "1"
-        )
+        # auto resolves OFF: task=align runs the corpus canvas (pallas
+        # measured 5.8 vs 5.1 s — not attention-bound) and task=retrieval
+        # never reaches the >= 512 window batches where the kernel wins;
+        # keying auto on --batch_windows here silently regressed the canvas
+        use_pallas = args.use_pallas == "1"
         model = TANWithText(mcfg, vocab_size=tokenizer.vocab_size, dtype=dtype,
                             bert_config=bert_config, use_pallas=use_pallas)
     init_params = None if baseline else model.init(

@@ -106,6 +106,38 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_from_host(value, sharding: NamedSharding):
+    """Full host copy (identical on every process) -> global jax.Array.
+
+    Unlike put_global (which takes each process's LOCAL rows), the caller
+    here holds the ENTIRE array on every process — the eval-corpus shape,
+    where every host loads the same annotation files.  Single-process this
+    is a plain device_put; multi-process, device_put cannot address other
+    hosts' devices, so each process donates the slices its own devices own
+    (replicated specs hand every device the full array)."""
+    value = np.asarray(value)
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    return jax.make_array_from_callback(
+        value.shape, sharding, lambda idx: value[idx]
+    )
+
+
+def fetch_global(x) -> np.ndarray:
+    """Device -> full host value on EVERY process.
+
+    np.asarray works on fully-addressable or fully-replicated jax.Arrays
+    only; a batch-sharded output of a multi-process jit is neither.  Rather
+    than special-case callers, reshard to replicated (an all-gather over
+    ICI/DCN, inserted by XLA) and read the local copy."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable or (
+        getattr(x.sharding, "is_fully_replicated", False)
+    ):
+        return np.asarray(x)
+    rep = NamedSharding(x.sharding.mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
 # Tensor-parallel rules, matched against '/'-joined flax param paths.
 # Head-sharded projections: q/k/v kernels [D, D] shard output dim; out kernel [D, D]
 # shards input dim (row-parallel => psum on output, inserted by GSPMD).

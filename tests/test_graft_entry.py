@@ -56,3 +56,18 @@ def test_dryrun_multichip_self_provisions_from_one_device():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multiprocess_self_check():
+    """The pod-shaped 2-process self-check (TAN_DRYRUN_MULTIPROCESS mode):
+    workers launch under jax.distributed, each feeds its own batch rows, and
+    the shared-mesh co-train step runs.  Exercised directly so a break here
+    doesn't wait for a driver run with the env flag set."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+
+        g.dryrun_multiprocess(num_processes=2, devices_per_process=2)
+    finally:
+        sys.path.remove(REPO)

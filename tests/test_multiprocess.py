@@ -90,10 +90,15 @@ def _exp_params(prefix):
 
 @pytest.mark.slow
 def test_two_process_dp4_matches_single_process(tmp_path, rng):
-    feat_dir, captions, _, _ = build_fixtures(tmp_path, rng)
+    feat_dir, captions, align_feat, align_anno = build_fixtures(tmp_path, rng)
     vocab_path = str(tmp_path / "vocab.npy")
     np.save(vocab_path, np.array(VOCAB))
-    common = _common_args(feat_dir, captions, vocab_path, "IGNORED")
+    # align eval included: the mesh-sharded AlignmentEvaluator must run SPMD
+    # across both processes (put_from_host inputs, fetch_global outputs) —
+    # a plain device_put/np.asarray crashes on non-addressable shards
+    common = _common_args(feat_dir, captions, vocab_path, "IGNORED") + [
+        "--align_features", align_feat, "--align_anno", align_anno,
+    ]
 
     def with_prefix(prefix, extra):
         args = list(common)
@@ -127,6 +132,23 @@ def test_two_process_dp4_matches_single_process(tmp_path, rng):
     joined = "\n".join(outs)
     assert "builds batch rows [0, 2)" in joined
     assert "builds batch rows [2, 4)" in joined
+
+    import json
+
+    def final_metrics(text):
+        line = [l for l in text.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    m_single = final_metrics(out)
+    m_p0, m_p1 = (final_metrics(o) for o in outs)
+    # the sharded eval is ONE global computation: both processes fetch the
+    # same replicated result — bitwise equal
+    assert m_p0 == m_p1, (m_p0, m_p1)
+    for k in ("Recall", "AUC"):
+        assert k in m_p0 and np.isfinite(m_p0[k]), m_p0
+        # rank metrics on a 3-video corpus; params differ ~2e-4 across
+        # topologies (collective order), so allow small rank jitter only
+        assert abs(m_p0[k] - m_single[k]) < 0.25, (k, m_p0[k], m_single[k])
 
     import jax
 
