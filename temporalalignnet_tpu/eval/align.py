@@ -54,19 +54,9 @@ class AlignmentEvaluator:
             from temporalalignnet_tpu.parallel.mesh import DATA_AXIS
 
             self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
-            # params committed to one device (converter output through
-            # load_params, or a plain device array) conflict with mesh-sharded
-            # batches inside jit; replicate those onto the mesh.  Already
-            # mesh-placed (multi-device) params — e.g. TP-sharded — are kept.
-            from temporalalignnet_tpu.parallel.mesh import put_from_host
+            from temporalalignnet_tpu.parallel.mesh import replicate_eval_params
 
-            rep = NamedSharding(mesh, P())
-            self.params = jax.tree_util.tree_map(
-                lambda x: x
-                if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
-                else put_from_host(x, rep),
-                params,
-            )
+            self.params = replicate_eval_params(params, mesh)
         a_layer = min(cfg.alignability_layer, model.cfg.num_joint_layers - 1)
         use_head = model.cfg.use_alignability_head
 

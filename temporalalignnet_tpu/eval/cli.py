@@ -56,7 +56,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "WINDOWED forward at batches >= 512 (bench.py gates that "
                    "itself); pass 1 to force it here (IMPLEMENTATION_STATUS.md)")
     p.add_argument("--shard_eval", action="store_true",
-                   help="shard window batches over all local devices")
+                   help="shard window batches over all (global) devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize for pod-scale eval; "
+                   "with --shard_eval the corpus shards over every host's "
+                   "chips as ONE SPMD computation (inputs via put_from_host, "
+                   "outputs all-gathered by fetch_global)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port for --multihost off-pod")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--f32", action="store_true",
                    help="force float32 compute (bf16 on TPU shifts metrics by "
                    "~1e-3 from accumulation order; f32 is bit-reproducible)")
@@ -65,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> dict:
     args = build_parser().parse_args(argv)
+
+    if args.multihost:  # before any backend touch
+        from temporalalignnet_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     import jax
     import jax.numpy as jnp
@@ -190,7 +208,7 @@ def main(argv: Optional[list] = None) -> dict:
         out = AlignmentEvaluator(model, params, cfg, mesh=mesh).evaluate(list(ds))
     else:
         ds = YC2RetrievalDataset(args.features, args.anno, "val", tokenizer, args.max_words)
-        out = RetrievalEvaluator(model, params, cfg).evaluate(list(ds))
+        out = RetrievalEvaluator(model, params, cfg, mesh=mesh).evaluate(list(ds))
     print(json.dumps(out))
     return out
 

