@@ -10,6 +10,9 @@ from temporalalignnet_tpu.checkpoint.s3d_convert import (
     load_milnce_checkpoint,
     s3d_torch_to_variables,
 )
+from temporalalignnet_tpu.checkpoint.timesformer_convert import (
+    timesformer_torch_to_params,
+)
 from temporalalignnet_tpu.checkpoint.torch_convert import (
     diff_param_trees,
     load_reference_checkpoint,
@@ -22,6 +25,7 @@ from temporalalignnet_tpu.checkpoint.torch_convert import (
 
 __all__ = [
     "clip_vision_torch_to_params",
+    "timesformer_torch_to_params",
     "Checkpointer",
     "load_params",
     "save_params",

@@ -8,6 +8,7 @@ from temporalalignnet_tpu.models.posenc import (
 )
 from temporalalignnet_tpu.models.s3d import S3D, space_to_depth
 from temporalalignnet_tpu.models.tan import TemporalAligner
+from temporalalignnet_tpu.models.timesformer import TimeSformerEncoder
 from temporalalignnet_tpu.models.transformer import (
     ResidualAttentionBlock,
     TemporalDecoder,
@@ -18,6 +19,7 @@ from temporalalignnet_tpu.models.word2vec import Word2VecEncoder, Word2VecTokeni
 
 __all__ = [
     "CLIPImageEncoder",
+    "TimeSformerEncoder",
     "TemporalEncoder",
     "TemporalDecoder",
     "ResidualAttentionBlock",

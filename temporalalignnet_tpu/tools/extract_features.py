@@ -154,3 +154,31 @@ def make_clip_encoder(params, dtype=None, normalize=True,
         return feats
 
     return lambda x: encode(jnp.asarray(x))
+
+
+def make_timesformer_encoder(params, dtype=None,
+                             **tower_kwargs) -> Callable[[np.ndarray], np.ndarray]:
+    """Jitted TimeSformer clip encoder: [B, T, H, W, 3] uint8 -> [B, width].
+
+    The reference extractor runs its video-transformer backbones at fps 8,
+    regrouping the frame stream into 8-frame clips and saving one backbone
+    feature per clip (extract_feature_template.py:266-269 timesformer,
+    :271-280 internvideo — same clip layout).  T here is that clip length
+    (== the tower's ``frames``).  ``params`` comes from
+    checkpoint/timesformer_convert.py::timesformer_torch_to_params.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from temporalalignnet_tpu.models.timesformer import (
+        TimeSformerEncoder,
+        preprocess_clip,
+    )
+
+    model = TimeSformerEncoder(dtype=dtype or jnp.float32, **tower_kwargs)
+
+    @jax.jit
+    def encode(clips):
+        return model.apply({"params": params}, preprocess_clip(clips))
+
+    return lambda x: encode(jnp.asarray(x))
