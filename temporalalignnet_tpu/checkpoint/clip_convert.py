@@ -15,6 +15,11 @@ Key mapping (standard torch->flax leaf conventions, as torch_convert.py):
   (kernels transposed);
 - .layer_norm1/2 -> ln_1/ln_2; .mlp.fc1/fc2 -> mlp/c_fc,c_proj;
 - visual_projection.weight [E, D] -> proj/kernel [D, E].
+
+The state_dict carries no activation info: build the flax tower with
+``CLIPImageEncoder(hidden_act=config.hidden_act)`` — OpenAI releases use
+'quick_gelu' (the default) but LAION/OpenCLIP HF exports use 'gelu', and a
+mismatch converts cleanly yet produces wrong activations.
 """
 
 from __future__ import annotations

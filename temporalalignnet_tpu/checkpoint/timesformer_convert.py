@@ -70,7 +70,9 @@ def timesformer_torch_to_params(
         elif parts[0] == "encoder" and parts[1] == "layer":
             i, rest = parts[2], parts[3:]
             base = [f"layers_{i}"]
-            if rest[0] in ("temporal_attention", "attention"):
+            if rest[0] in ("temporal_attention", "attention") and (
+                len(rest) == 4 and rest[2] in _ATTN
+            ):
                 tgt = "temporal_attn" if rest[0].startswith("temporal") else "attn"
                 # .attention.qkv.* / .output.dense.*
                 _dense(params, base + [tgt, _ATTN[rest[2]]], rest[3], v)

@@ -511,12 +511,13 @@ class AlignmentEvaluator:
 
     def _put_replicated(self, table):
         if self._batch_sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from temporalalignnet_tpu.parallel.mesh import put_from_host
+            from temporalalignnet_tpu.parallel.mesh import (
+                put_from_host,
+                replicated_sharding,
+            )
 
             return put_from_host(
-                table, NamedSharding(self._batch_sharding.mesh, P())
+                table, replicated_sharding(self._batch_sharding.mesh)
             )
         return jnp.asarray(table)
 

@@ -83,10 +83,11 @@ class RetrievalEvaluator:
             from temporalalignnet_tpu.parallel.mesh import (
                 DATA_AXIS,
                 replicate_eval_params,
+                replicated_sharding,
             )
 
             self._batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
-            self._replicated = NamedSharding(mesh, P())
+            self._replicated = replicated_sharding(mesh)
             self.params = replicate_eval_params(params, mesh)
         seq_len = cfg.seq_len
 

@@ -35,6 +35,11 @@ class CLIPImageEncoder(nn.Module):
     patch_size: int = 32
     embed_dim: int = 512  # projection output; 0 = return ln_post(cls) [width]
     dtype: jnp.dtype = jnp.float32
+    # Must match the checkpoint's config.hidden_act: OpenAI CLIP releases use
+    # 'quick_gelu'; LAION/OpenCLIP HF exports (e.g. ViT-H-14) use 'gelu'.
+    # The converter maps weights only — a mismatch here silently corrupts
+    # activations, so set this from the HF config when loading such towers.
+    hidden_act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +67,7 @@ class CLIPImageEncoder(nn.Module):
         for i in range(self.layers):
             x, _ = ResidualAttentionBlock(
                 self.width, self.heads, dtype=self.dtype,
-                name=f"resblocks_{i}",
+                act=self.hidden_act, name=f"resblocks_{i}",
             )(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         if self.embed_dim:

@@ -74,6 +74,9 @@ class MLP(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     fc_std: float = 0.0
     proj_std: float = 0.0
+    # TAN/CLIP blocks use QuickGELU; HF-CLIP checkpoints trained with
+    # hidden_act='gelu' (e.g. LAION exports) need exact gelu instead.
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +87,7 @@ class MLP(nn.Module):
             kernel_init=_kinit(self.fc_std),
             name="c_fc",
         )(x)
-        h = quick_gelu(h)
+        h = quick_gelu(h) if self.act == "quick_gelu" else nn.gelu(h, approximate=False)
         return nn.Dense(
             self.width,
             dtype=self.dtype,
@@ -106,6 +109,7 @@ class ResidualAttentionBlock(nn.Module):
     attn_std: float = 0.0
     proj_std: float = 0.0
     fc_std: float = 0.0
+    act: str = "quick_gelu"
 
     def setup(self):
         self.attn = MultiheadSelfAttention(
@@ -127,6 +131,7 @@ class ResidualAttentionBlock(nn.Module):
             param_dtype=self.param_dtype,
             fc_std=self.fc_std,
             proj_std=self.proj_std,
+            act=self.act,
         )
 
     def __call__(self, x, key_padding_mask=None):

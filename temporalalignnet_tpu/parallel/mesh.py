@@ -16,6 +16,7 @@ that with a single ``jax.sharding.Mesh`` and GSPMD:
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Any, Optional
 
@@ -131,7 +132,7 @@ def replicate_eval_params(params: Any, mesh: Mesh) -> Any:
     those leaves replicate onto the mesh (multi-process-safe via
     put_from_host).  Already mesh-placed (multi-device) leaves — e.g.
     TP-sharded — are kept as-is."""
-    rep = NamedSharding(mesh, P())
+    rep = replicated_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: x
         if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
@@ -151,8 +152,15 @@ def fetch_global(x) -> np.ndarray:
         getattr(x.sharding, "is_fully_replicated", False)
     ):
         return np.asarray(x)
-    rep = NamedSharding(x.sharding.mesh, P())
-    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+    return np.asarray(_replicate_fn(replicated_sharding(x.sharding.mesh))(x))
+
+
+@functools.lru_cache(maxsize=None)
+def _replicate_fn(rep: NamedSharding):
+    # One jitted identity per target sharding: a fresh lambda per fetch_global
+    # call would defeat jit's trace cache and recompile the all-gather every
+    # fetch (a compile round-trip per evaluator output on real pods).
+    return jax.jit(lambda a: a, out_shardings=rep)
 
 
 # Tensor-parallel rules, matched against '/'-joined flax param paths.

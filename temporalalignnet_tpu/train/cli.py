@@ -376,7 +376,9 @@ def main(argv: Optional[list] = None) -> dict:
                     tokenizer,
                     max_words=args.max_words,
                 )
-                ev = RetrievalEvaluator(model, params, EvalConfig(seq_len=args.seq_len))
+                ev = RetrievalEvaluator(
+                    model, params, EvalConfig(seq_len=args.seq_len), mesh=mesh,
+                )
                 _eval_cache["yc2"] = (ev, list(ds))
             ev, items = _eval_cache["yc2"]
             ev.params = params

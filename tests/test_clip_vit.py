@@ -53,6 +53,38 @@ def test_conversion_and_activation_parity(rng):
     )
 
 
+def test_gelu_variant_activation_parity(rng):
+    """LAION/OpenCLIP-style HF exports set hidden_act='gelu'; the flax tower
+    must honor it (hidden_act=...) — the converter maps weights only, so an
+    activation mismatch would convert cleanly yet corrupt features."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    torch.manual_seed(1)
+    cfg = dict(TINY, hidden_act="gelu")
+    tm = CLIPVisionModelWithProjection(CLIPVisionConfig(**cfg)).eval()
+    params = clip_vision_torch_to_params(tm.state_dict())
+
+    imgs = rng.randn(2, TINY["image_size"], TINY["image_size"], 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.tensor(imgs.transpose(0, 3, 1, 2)))
+
+    def run(act):
+        enc = CLIPImageEncoder(
+            width=TINY["hidden_size"], layers=TINY["num_hidden_layers"],
+            heads=TINY["num_attention_heads"], patch_size=TINY["patch_size"],
+            embed_dim=TINY["projection_dim"], hidden_act=act,
+        )
+        return np.asarray(enc.apply({"params": params}, jnp.asarray(imgs)))
+
+    np.testing.assert_allclose(
+        run("gelu"), ref.image_embeds.numpy(), atol=2e-5, rtol=1e-4
+    )
+    # and the default quick_gelu tower genuinely diverges on these weights
+    assert np.abs(run("quick_gelu") - ref.image_embeds.numpy()).max() > 1e-3
+
+
 def test_extractor_hook_runs(rng):
     """make_clip_encoder: [B, T, H, W, 3] uint8 frames -> L2-normalized [B, E]."""
     import torch

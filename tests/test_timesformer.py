@@ -84,6 +84,22 @@ def test_classification_statedict_accepted():
     assert params["cls_token"].shape == (TINY["hidden_size"],)
 
 
+def test_unknown_attention_keys_reported_not_raised():
+    """Attention sub-keys outside the assumed qkv/output.dense layout (e.g. a
+    fine-tune with split q/k/v projections) must follow the converter's
+    unknown-key contract — appended to the report — not crash with KeyError."""
+    import numpy as np_
+
+    sd = {
+        "encoder.layer.0.attention.attention.query.weight": np_.zeros((4, 4)),
+        "encoder.layer.0.attention.relative_position": np_.zeros((4,)),
+    }
+    report = []
+    params = timesformer_torch_to_params(sd, report)
+    assert len([r for r in report if "unrecognized" in r]) == 2, report
+    assert "layers_0" not in params
+
+
 def test_extractor_hook_runs(rng):
     """make_timesformer_encoder: uint8 clips -> [B, width] backbone features,
     equal to torch on the same normalized pixels."""
