@@ -4,6 +4,7 @@ from temporalalignnet_tpu.checkpoint.orbax_io import (
     save_params,
 )
 from temporalalignnet_tpu.checkpoint.clip_convert import (
+    clip_text_torch_to_params,
     clip_vision_torch_to_params,
 )
 from temporalalignnet_tpu.checkpoint.s3d_convert import (
@@ -24,6 +25,7 @@ from temporalalignnet_tpu.checkpoint.torch_convert import (
 )
 
 __all__ = [
+    "clip_text_torch_to_params",
     "clip_vision_torch_to_params",
     "timesformer_torch_to_params",
     "Checkpointer",

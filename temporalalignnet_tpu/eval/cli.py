@@ -28,6 +28,27 @@ def build_parser() -> argparse.ArgumentParser:
                    "text tower + 1024->512 fc (eval_zeroshot_align.py:264-291)")
     p.add_argument("--baseline_sim", default="dot", choices=["dot", "cos"],
                    help="baseline similarity: dot for MIL-NCE, cos for CLIP")
+    p.add_argument("--clip_text_ckpt", default=None,
+                   help="baseline mode: torch state_dict of an HF "
+                   "CLIPTextModel(/WithProjection or full CLIPModel) — "
+                   "encodes captions with the CLIP text tower, the "
+                   "reference's clip.encode_text baseline "
+                   "(eval_zeroshot_align.py:294-327); use with CLIP visual "
+                   "features, --baseline_sim cos and --video_embed_dim set "
+                   "to the CLIP embed dim (512 for B/32)")
+    p.add_argument("--clip_vocab", default=None,
+                   help="HF-style CLIP vocab.json (with --clip_merges)")
+    p.add_argument("--clip_merges", default=None, help="HF-style merges.txt")
+    p.add_argument("--clip_bpe", default=None,
+                   help="alternative: OpenAI bpe_simple_vocab_16e6.txt.gz")
+    p.add_argument("--clip_context", type=int, default=77,
+                   help="CLIP tokenizer context length")
+    p.add_argument("--clip_text_heads", type=int, default=8,
+                   help="text-tower heads (not in the state_dict; 8 for "
+                   "B/32 and B/16, 12 for L/14)")
+    p.add_argument("--clip_hidden_act", default="quick_gelu",
+                   choices=["quick_gelu", "gelu"],
+                   help="must match the checkpoint config's hidden_act")
     p.add_argument("--features", required=True)
     p.add_argument("--anno", required=True)
     p.add_argument("--vocab", default=None,
@@ -103,6 +124,20 @@ def main(argv: Optional[list] = None) -> dict:
 
         tokenizer = BertTokenizer.from_pretrained(args.bert_dir)
         bert_config = BertConfig.from_pretrained(args.bert_dir)
+    elif args.clip_vocab or args.clip_bpe:
+        from temporalalignnet_tpu.models.clip_text import CLIPTokenizer
+
+        if args.clip_bpe:
+            tokenizer = CLIPTokenizer.from_openai_bpe(
+                args.clip_bpe, context_length=args.clip_context
+            )
+        else:
+            if not args.clip_merges:
+                raise SystemExit("--clip_vocab requires --clip_merges")
+            tokenizer = CLIPTokenizer(
+                args.clip_vocab, args.clip_merges,
+                context_length=args.clip_context,
+            )
     elif args.vocab:
         tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
     else:
@@ -129,15 +164,54 @@ def main(argv: Optional[list] = None) -> dict:
             use_alignability_head=False,
             random_pos_start=False,
         )
+        text_tower = None
+        clip_text_params = None
+        if args.clip_text_ckpt:
+            import torch
+
+            from temporalalignnet_tpu.checkpoint import clip_text_torch_to_params
+            from temporalalignnet_tpu.models.clip_text import CLIPTextEncoder
+
+            sd = torch.load(
+                args.clip_text_ckpt, map_location="cpu", weights_only=True
+            )
+            sd = sd.get("state_dict", sd)
+            clip_text_params = clip_text_torch_to_params(sd)
+            # geometry comes from the converted tree; heads/act are flags
+            width = clip_text_params["token_embedding"]["embedding"].shape[1]
+            vocab_rows = clip_text_params["token_embedding"]["embedding"].shape[0]
+            context = clip_text_params["positional_embedding"].shape[0]
+            layers = sum(k.startswith("resblocks_") for k in clip_text_params)
+            embed_dim = (
+                clip_text_params["proj"]["kernel"].shape[1]
+                if "proj" in clip_text_params else 0
+            )
+            heads, act = args.clip_text_heads, args.clip_hidden_act
+            text_tower = lambda: CLIPTextEncoder(
+                vocab_size=vocab_rows, context_length=context, width=width,
+                layers=layers, heads=heads, embed_dim=embed_dim, dtype=dtype,
+                hidden_act=act,
+            )
         model = RawFeatureBaseline(
             mcfg, vocab_size=tokenizer.vocab_size,
-            use_visual_proj=use_proj, dtype=dtype,
+            use_visual_proj=use_proj, dtype=dtype, text_tower=text_tower,
         )
         params = model.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 8, args.video_embed_dim)),
-            jnp.zeros((1, 2, args.max_words), jnp.int32),
+            jnp.zeros(
+                (1, 2, getattr(tokenizer, "max_words", args.max_words)),
+                jnp.int32,
+            ),
         )["params"]
+        if clip_text_params is not None:
+            from temporalalignnet_tpu.checkpoint import neq_merge
+
+            params, report = neq_merge(
+                jax.device_get(params), {"lang_model": clip_text_params}
+            )
+            for line in report:
+                print(f"[baseline] {line}")
         if use_proj:
             from temporalalignnet_tpu.checkpoint import (
                 load_milnce_checkpoint,
@@ -203,11 +277,14 @@ def main(argv: Optional[list] = None) -> dict:
         from temporalalignnet_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(-1, 1)
+    # the CLIP tokenizer emits fixed 77-token rows (EOT-terminated); the
+    # datasets must pad/truncate to ITS width, not word2vec's 32
+    ds_words = getattr(tokenizer, "max_words", args.max_words)
     if args.task == "align":
-        ds = HTMAlignDataset(args.features, args.anno, tokenizer, args.max_words)
+        ds = HTMAlignDataset(args.features, args.anno, tokenizer, ds_words)
         out = AlignmentEvaluator(model, params, cfg, mesh=mesh).evaluate(list(ds))
     else:
-        ds = YC2RetrievalDataset(args.features, args.anno, "val", tokenizer, args.max_words)
+        ds = YC2RetrievalDataset(args.features, args.anno, "val", tokenizer, ds_words)
         out = RetrievalEvaluator(model, params, cfg, mesh=mesh).evaluate(list(ds))
     print(json.dumps(out))
     return out

@@ -1,4 +1,5 @@
 from temporalalignnet_tpu.models.baseline import RawFeatureBaseline
+from temporalalignnet_tpu.models.clip_text import CLIPTextEncoder, CLIPTokenizer
 from temporalalignnet_tpu.models.clip_vit import CLIPImageEncoder
 from temporalalignnet_tpu.models.net import BertEncoder, TANWithText
 from temporalalignnet_tpu.models.posenc import (
@@ -19,6 +20,8 @@ from temporalalignnet_tpu.models.word2vec import Word2VecEncoder, Word2VecTokeni
 
 __all__ = [
     "CLIPImageEncoder",
+    "CLIPTextEncoder",
+    "CLIPTokenizer",
     "TimeSformerEncoder",
     "TemporalEncoder",
     "TemporalDecoder",

@@ -17,7 +17,7 @@ text encoder matching the feature space (CLIP text for CLIP features).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -42,16 +42,25 @@ class RawFeatureBaseline(nn.Module):
     use_visual_proj: bool = True  # MIL-NCE fc 1024->512
     embed_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    # CLIP mode's text side (reference eval_zeroshot_align.py:294-330 encodes
+    # captions with clip.encode_text): a zero-arg factory building the text
+    # tower — e.g. lambda: CLIPTextEncoder(embed_dim=video_embed_dim) — whose
+    # params graft under 'lang_model' (clip_text_torch_to_params output).
+    # None = the MIL-NCE word2vec Sentence_Embedding.
+    text_tower: Optional[Callable[[], nn.Module]] = None
 
     def setup(self):
         # without the visual projection, text must land in the feature space
         out_dim = self.embed_dim if self.use_visual_proj else self.cfg.video_embed_dim
-        self.lang_model = Word2VecEncoder(
-            vocab_size=self.vocab_size,
-            output_dim=out_dim,
-            dtype=self.dtype,
-            name="lang_model",
-        )
+        if self.text_tower is not None:
+            self.lang_model = self.text_tower()
+        else:
+            self.lang_model = Word2VecEncoder(
+                vocab_size=self.vocab_size,
+                output_dim=out_dim,
+                dtype=self.dtype,
+                name="lang_model",
+            )
         if self.use_visual_proj:
             self.visual_proj = nn.Dense(self.embed_dim, dtype=self.dtype,
                                         name="visual_proj")
@@ -69,7 +78,9 @@ class RawFeatureBaseline(nn.Module):
         lead = input_ids.shape[:-1]
         W = input_ids.shape[-1]
         out = self.lang_model(input_ids.reshape(-1, W), attention_mask.reshape(-1, W))
-        return out["pooler_output"].reshape(*lead, -1)
+        if isinstance(out, dict):  # word2vec tower; CLIP returns the array
+            out = out["pooler_output"]
+        return out.reshape(*lead, -1)
 
     def __call__(self, video, input_ids, deterministic=True, **kw):
         mask = (input_ids != 0).astype(jnp.int32)

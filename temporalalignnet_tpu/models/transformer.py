@@ -46,6 +46,7 @@ class MultiheadSelfAttention(nn.Module):
     use_pallas: bool = False
     attn_std: float = 0.0
     proj_std: float = 0.0
+    causal: bool = False  # CLIP text tower; TAN blocks are bidirectional
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None):
@@ -62,7 +63,10 @@ class MultiheadSelfAttention(nn.Module):
         q = dense("q_proj", self.attn_std)(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
         k = dense("k_proj", self.attn_std)(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
         v = dense("v_proj", self.attn_std)(x).reshape(B, S, self.heads, dh).transpose(0, 2, 1, 3)
-        out = multihead_attention(q, k, v, key_padding_mask, use_pallas=self.use_pallas)
+        out = multihead_attention(
+            q, k, v, key_padding_mask,
+            use_pallas=self.use_pallas, causal=self.causal,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         return dense("out_proj", self.proj_std)(out)
 
@@ -110,6 +114,7 @@ class ResidualAttentionBlock(nn.Module):
     proj_std: float = 0.0
     fc_std: float = 0.0
     act: str = "quick_gelu"
+    causal: bool = False
 
     def setup(self):
         self.attn = MultiheadSelfAttention(
@@ -120,6 +125,7 @@ class ResidualAttentionBlock(nn.Module):
             use_pallas=self.use_pallas,
             attn_std=self.attn_std,
             proj_std=self.proj_std,
+            causal=self.causal,
         )
         # torch LayerNorm eps = 1e-5
         self.ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)

@@ -35,14 +35,21 @@ def _attention_xla(
     k: jnp.ndarray,  # [B, H, S, Dh]
     v: jnp.ndarray,  # [B, H, S, Dh]
     key_padding_mask: Optional[jnp.ndarray],  # [B, S] True = pad
+    causal: bool = False,
 ) -> jnp.ndarray:
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    if causal:
+        # CLIP text-tower semantics (torch builds an additive -inf upper
+        # triangle; HF CLIPTextTransformer's _create_4d_causal_attention_mask)
+        S = scores.shape[-1]
+        keep = jnp.tril(jnp.ones((S, S), bool))
+        scores = jnp.where(keep[None, None], scores, neg)
     if key_padding_mask is not None:
-        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
         scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -57,10 +64,17 @@ def multihead_attention(
     v: jnp.ndarray,
     key_padding_mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    causal: bool = False,
 ) -> jnp.ndarray:
-    """[B, H, S, Dh] attention with optional [B, S] key padding mask (True=pad)."""
-    if use_pallas:
+    """[B, H, S, Dh] attention with optional [B, S] key padding mask (True=pad).
+
+    ``causal`` adds the CLIP-text lower-triangular mask; only the XLA path
+    implements it (the Pallas kernel targets the TAN eval shapes — the text
+    tower's S=77 is far below where the kernel ever wins, so causal silently
+    takes the XLA path rather than growing the kernel).
+    """
+    if use_pallas and not causal:
         from temporalalignnet_tpu.ops.pallas_attention import fused_attention
 
         return fused_attention(q, k, v, key_padding_mask)
-    return _attention_xla(q, k, v, key_padding_mask)
+    return _attention_xla(q, k, v, key_padding_mask, causal=causal)
