@@ -63,6 +63,7 @@ class TANWithText(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False  # rematerialize aligner encoder blocks in backward
     bert_config: Any = None  # transformers BertConfig for language_model='bert'
 
     def setup(self):
@@ -87,6 +88,7 @@ class TANWithText(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.use_pallas,
+            remat=self.remat,
             name="aligner",
         )
 

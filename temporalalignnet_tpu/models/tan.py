@@ -54,6 +54,7 @@ class TemporalAligner(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    remat: bool = False  # rematerialize encoder blocks in backward
 
     def setup(self):
         cfg = self.cfg
@@ -76,6 +77,7 @@ class TemporalAligner(nn.Module):
                 attn_std=attn_std,
                 proj_std=proj_std,
                 fc_std=fc_std,
+                remat=self.remat,
                 name=name,
             )
 

@@ -262,10 +262,20 @@ class TemporalEncoder(nn.Module):
     attn_std: float = 0.0
     proj_std: float = 0.0
     fc_std: float = 0.0
+    # rematerialize each block in the backward pass (jax.checkpoint): drops
+    # the per-block attention probs/MLP activations from HBM and recomputes
+    # them when the gradient needs them — the standard TPU lever for growing
+    # batch once weights+optimizer fit but activations don't.  Param tree and
+    # numerics are unchanged (grad parity tested in test_train.py).
+    remat: bool = False
 
     def setup(self):
+        block_cls = (
+            nn.remat(ResidualAttentionBlock) if self.remat
+            else ResidualAttentionBlock
+        )
         self.resblocks = [
-            ResidualAttentionBlock(
+            block_cls(
                 self.width,
                 self.heads,
                 self.mlp_ratio,

@@ -31,6 +31,9 @@ def main(argv=None) -> dict:
     p.add_argument("--max_sentences", type=int, default=16)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize encoder blocks in backward "
+                        "(activation-memory lever; expect a FLOPs cost)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,7 +68,8 @@ def main(argv=None) -> dict:
     )
     on_tpu = jax.default_backend() == "tpu"
     model = TANWithText(
-        mcfg, vocab_size=66251, dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        mcfg, vocab_size=66251, dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        remat=bool(args.remat),
     )
     tcfg = TrainConfig(lr=1e-4, warmup_iterations=10, total_iterations=10_000)
 
@@ -100,6 +104,7 @@ def main(argv=None) -> dict:
     out = {
         "metric": f"stage{args.stage}_train_steps_per_sec",
         "fused_milnce": fused,
+        "remat": bool(args.remat),
         "value": round(best, 2),
         "unit": "steps/s",
         "batch_size": args.batch_size,

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_text_pos_enc", type=int, default=0)
     p.add_argument("--use_alignability_head", type=int, default=0)
     p.add_argument("--video_embed_dim", type=int, default=1024)
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize encoder blocks in the backward pass "
+                        "(jax.checkpoint): trades ~1 extra forward of FLOPs "
+                        "for dropping per-block activations from HBM — use "
+                        "when growing batch OOMs on activations; numerics "
+                        "and the param tree are unchanged")
     # loss (train/config.py:21-30)
     p.add_argument("--fused_milnce", default="auto", choices=["auto", "0", "1"],
                    help="fused sim+masked-logsumexp MIL-NCE Pallas kernel "
@@ -340,6 +346,7 @@ def main(argv: Optional[list] = None) -> dict:
     model = TANWithText(
         mcfg, vocab_size=tokenizer.vocab_size, dtype=jnp.bfloat16
         if jax.default_backend() == "tpu" else jnp.float32,
+        remat=bool(args.remat),
         bert_config=bert_config,
     )
 

@@ -146,6 +146,49 @@ def _assert_param_trees_close(expected, got, atol):
         )
 
 
+class TestRemat:
+    """remat=True (jax.checkpoint on every encoder block) changes memory
+    behavior only: the param tree and a full train step's numerics must match
+    the non-remat model exactly (the recomputed forward runs the same ops)."""
+
+    @pytest.mark.parametrize("cotrain", [False, True])
+    def test_remat_step_parity(self, cotrain):
+        loss_kw = (
+            dict(model="cotrain", learn_agreement=True,
+                 use_alignability_head=True, loss_threshold=0.5)
+            if cotrain else {}
+        )
+        rng = np.random.RandomState(0)
+        batch = synthetic_batch(
+            rng, batch_size=4, seq_len=32, max_sentences=4,
+            feature_dim=TINY["video_embed_dim"], vocab_size=50, max_words=8,
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss_cfg = LossConfig(**loss_kw)
+        mcfg = ModelConfig(
+            use_alignability_head=loss_cfg.use_alignability_head, **TINY
+        )
+        tcfg = TrainConfig(lr=1e-3, warmup_iterations=0, total_iterations=100)
+
+        results = []
+        for remat in (False, True):
+            model = TANWithText(mcfg, vocab_size=51, remat=remat)
+            state, tx = create_train_state(model, tcfg, loss_cfg, batch, seed=0)
+            step = make_train_step(model, tx, tcfg, loss_cfg)
+            state, metrics = step(state, batch)
+            results.append((state, metrics))
+        (s0, m0), (s1, m1) = results
+        # identical param structure
+        assert (
+            jax.tree_util.tree_structure(s0.params)
+            == jax.tree_util.tree_structure(s1.params)
+        )
+        np.testing.assert_allclose(
+            float(m0["loss"]), float(m1["loss"]), rtol=1e-6
+        )
+        _assert_param_trees_close(s0.params, s1.params, atol=1e-6)
+
+
 class TestMultiStepDispatch:
     """make_multi_train_step (K optimizer steps per dispatch via lax.scan) is
     semantically identical to K sequential make_train_step calls — same rng
