@@ -87,6 +87,15 @@ def main(argv=None) -> dict:
     state, tx = create_train_state(model, tcfg, loss_cfg, batch)
     step = make_train_step(model, tx, tcfg, loss_cfg)
 
+    # compiled-program memory footprint (XLA's own accounting — temp =
+    # activations + scratch; best-effort, not all backends report it)
+    temp_mb = None
+    try:
+        ma = step.lower(state, batch).compile().memory_analysis()
+        temp_mb = round(ma.temp_size_in_bytes / 2**20, 1)
+    except Exception:
+        pass
+
     # compile + warmup; scalar fetch is the only reliable fence on axon
     for _ in range(3):
         state, metrics = step(state, batch)
@@ -105,6 +114,7 @@ def main(argv=None) -> dict:
         "metric": f"stage{args.stage}_train_steps_per_sec",
         "fused_milnce": fused,
         "remat": bool(args.remat),
+        "temp_mb": temp_mb,
         "value": round(best, 2),
         "unit": "steps/s",
         "batch_size": args.batch_size,
