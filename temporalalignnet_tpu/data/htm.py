@@ -35,12 +35,15 @@ UNK_TEXT = "[UNK]"
 # --------------------------------------------------------------------- helpers
 
 
-def load_feature(feature_dir: str, vid: str) -> np.ndarray:
-    """{vid}.mp4.npy with .webm.npy fallback (loader_htm.py:137-144)."""
+def load_feature(feature_dir: str, vid: str, mmap: bool = False) -> np.ndarray:
+    """{vid}.mp4.npy with .webm.npy fallback (loader_htm.py:137-144).
+
+    ``mmap=True`` opens the array lazily (``np.load(mmap_mode='r')``) so a
+    window sample reads only its T rows instead of the whole file."""
     for suffix in (".mp4.npy", ".webm.npy", ".npy"):
         path = os.path.join(feature_dir, vid + suffix)
         if os.path.exists(path):
-            return np.load(path)
+            return np.load(path, mmap_mode="r" if mmap else None)
     raise FileNotFoundError(f"no feature file for {vid} in {feature_dir}")
 
 
@@ -94,6 +97,42 @@ def load_holdout(path_or_set) -> Set[str]:
 # --------------------------------------------------------------------- dataset
 
 
+class _VideoHostCache:
+    """Thread-safe LRU of per-video host artifacts.
+
+    Entry: {"feature": np.memmap, "caps": parsed caption record,
+    "tokens": {caption_idx: token ids}}.  The torch reference re-reads the
+    whole feature file and re-tokenizes every sentence on every __getitem__
+    (loader_htm.py:137-144,204-226); profiled here that is ~60% of per-sample
+    host time (full-file np.load incl. header parse 38%, tokenize 24%).  All
+    three artifacts are static per video, so caching them is bit-identical —
+    the memmap window slice `.astype(f32)` copies exactly the bytes the eager
+    load did.  Bounded (default 256 videos) so htm-370k-scale corpora don't
+    exhaust file descriptors; size 0 disables caching entirely.
+    """
+
+    def __init__(self, maxsize: int):
+        import collections
+        import threading
+
+        self.maxsize = maxsize
+        self._d: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, vid: str) -> Optional[dict]:
+        if self.maxsize <= 0:
+            return None
+        with self._lock:
+            entry = self._d.get(vid)
+            if entry is None:
+                entry = {"tokens": {}}
+                self._d[vid] = entry
+            self._d.move_to_end(vid)
+            while len(self._d) > self.maxsize:
+                self._d.popitem(last=False)
+            return entry
+
+
 class HTMFeatureDataset:
     """Training/val dataset over pre-extracted features + sentencified ASR."""
 
@@ -108,6 +147,7 @@ class HTMFeatureDataset:
         vlen_table: Optional[Dict[str, int]] = None,
         min_vlen: int = 64,
         max_vlen: int = 1000,
+        cache_videos: int = 256,
     ):
         assert mode in ("train", "val", "test")
         self.feature_dir = feature_dir
@@ -115,6 +155,7 @@ class HTMFeatureDataset:
         self.mode = mode
         self.tokenizer = tokenizer
         self.captions = load_captions(captions)
+        self._cache = _VideoHostCache(cache_videos)
 
         holdout_set = load_holdout(holdout)
         vids = [v for v in self.captions if v not in holdout_set]
@@ -148,9 +189,11 @@ class HTMFeatureDataset:
             : self.cfg.max_words
         ]
 
-    def _captions_for(self, vid: str) -> Dict[str, list]:
+    def _captions_for(self, vid: str, entry: Optional[dict] = None) -> Dict[str, list]:
         """Caption record; the htm-fe tag maps vid -> a per-video CSV path
         (loader_htm.py:81-84,196-199) while htm-370k/1200k inline the record."""
+        if entry is not None and "caps" in entry:
+            return entry["caps"]
         caps = self.captions[vid]
         if isinstance(caps, str):
             with open(caps, newline="") as f:
@@ -160,7 +203,19 @@ class HTMFeatureDataset:
                 "start": [float(r["start"]) for r in rows],
                 "end": [float(r["end"]) for r in rows],
             }
+        if entry is not None:
+            entry["caps"] = caps
         return caps
+
+    def _feature_for(self, vid: str, entry: Optional[dict] = None) -> np.ndarray:
+        if entry is not None:
+            feat = entry.get("feature")
+            if feat is None:
+                feat = entry["feature"] = load_feature(
+                    self.feature_dir, vid, mmap=True
+                )
+            return feat
+        return load_feature(self.feature_dir, vid)
 
     def sample(self, index: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         """One fixed-shape training window (reference __getitem__ + _get_text,
@@ -168,10 +223,11 @@ class HTMFeatureDataset:
         cfg = self.cfg
         T, N, W = cfg.seq_len, cfg.max_sentences, cfg.max_words
         vid = self.video_ids[index]
-        feature = load_feature(self.feature_dir, vid)
+        entry = self._cache.get(vid)
+        feature = self._feature_for(vid, entry)
         vlen = feature.shape[0]
 
-        caps = self._captions_for(vid)
+        caps = self._captions_for(vid, entry)
         starts = np.asarray(caps["start"], np.float64)
         ends = np.asarray(caps["end"], np.float64)
         texts = caps["text"]
@@ -191,6 +247,7 @@ class HTMFeatureDataset:
             start_ts = int(round(starts[anchor]))
             end_ts = start_ts + T
 
+            tok_cache = entry["tokens"] if entry is not None else None
             pos = list(order)
             for idx in pos[pos.index(anchor):]:
                 s, e = round(starts[idx]), round(ends[idx])
@@ -201,7 +258,14 @@ class HTMFeatureDataset:
                 if s > end_ts or e - s < 1:  # (:214-215)
                     break
                 e = min(e, end_ts)
-                token = self._tokenize(text)
+                # token ids are a pure function of the (static) caption text:
+                # cache per caption index instead of re-running BPE/vocab
+                # lookup every window (profiled ~24% of sample time)
+                token = tok_cache.get(idx) if tok_cache is not None else None
+                if token is None:
+                    token = self._tokenize(text)
+                    if tok_cache is not None:
+                        tok_cache[idx] = token
                 trim_s = max(s - start_ts, 0)
                 trim_e = min(e - start_ts, T)
                 if trim_e == trim_s:  # (:222-223)

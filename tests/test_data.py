@@ -123,6 +123,35 @@ class TestHTMDataset:
         valid = (~s["video_padding_mask"]).sum()
         np.testing.assert_array_equal(s["video"][:valid], full[c0 : c0 + valid])
 
+    def test_host_cache_is_bit_identical(self, htm_root, tokenizer):
+        """The per-video LRU (memmap slice + cached caption tokens) must be
+        invisible: same rng -> byte-equal samples vs cache_videos=0 (the
+        reference-style reload/retokenize path), including repeat visits,
+        eviction (cache smaller than the corpus), and threaded loading."""
+        kw = dict(mode="train", tokenizer=tokenizer)
+        cached = HTMFeatureDataset(
+            htm_root["feature_dir"], htm_root["captions"], CFG,
+            cache_videos=3, **kw,  # 3 < 12 vids -> constant eviction
+        )
+        plain = HTMFeatureDataset(
+            htm_root["feature_dir"], htm_root["captions"], CFG,
+            cache_videos=0, **kw,
+        )
+        for trial in range(36):
+            i = trial % len(cached)
+            a = cached.sample(i, np.random.RandomState(trial))
+            b = plain.sample(i, np.random.RandomState(trial))
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{k}@{i}")
+                assert a[k].dtype == b[k].dtype
+        # threaded loader over the cached dataset matches the plain one
+        la = TrainLoader(cached, batch_size=4, shuffle=True, seed=7, num_workers=4)
+        lb = TrainLoader(plain, batch_size=4, shuffle=True, seed=7, num_workers=4)
+        for ba, bb in zip(la, lb):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
     def test_unk_fallback(self, tmp_path, tokenizer):
         """Videos whose captions are unusable produce the [UNK] window
         (loader_htm.py:230-239)."""
