@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_words", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument(
+        "--cache_videos", type=int, default=256,
+        help="per-video host cache (memmapped features + caption token ids; "
+        "bit-identical to reloading — see tools/bench_loader.py); 0 disables",
+    )
     p.add_argument("--vocab", default=None, help="word list .npy (s3d_dict format)")
     p.add_argument("--milnce_ckpt", default=None,
                    help="s3d_howto100m.pth: initialize the word2vec tower from "
@@ -291,7 +296,8 @@ def main(argv: Optional[list] = None) -> dict:
     else:
         raise SystemExit("--vocab is required (s3d_dict.npy word list)")
     dataset = HTMFeatureDataset(
-        args.feature_dir, args.captions, dcfg, "train", tokenizer, holdout=args.holdout
+        args.feature_dir, args.captions, dcfg, "train", tokenizer,
+        holdout=args.holdout, cache_videos=args.cache_videos,
     )
     if len(dataset) == 0:
         raise SystemExit("no training videos after filtering")
