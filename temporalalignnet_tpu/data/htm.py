@@ -58,7 +58,9 @@ def build_vlen_table(feature_dir: str, vids: Iterable[str], cache_path: Optional
     table = {}
     for vid in vids:
         try:
-            table[vid] = int(load_feature(feature_dir, vid).shape[0])
+            # mmap: the vlen is in the npy header — don't pull 370k-video
+            # corpora through RAM just to count rows
+            table[vid] = int(load_feature(feature_dir, vid, mmap=True).shape[0])
         except FileNotFoundError:
             continue
     if cache_path:
