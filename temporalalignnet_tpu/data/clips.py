@@ -19,6 +19,7 @@ from __future__ import annotations
 import csv
 import os
 import subprocess
+import zlib
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -73,6 +74,31 @@ def ffmpeg_decode(
         x = rng.randint(0, w - crop_size + 1)
     crop = frames[:, y : y + crop_size, x : x + crop_size]
     return crop.astype(np.float32) / 255.0
+
+
+def synthetic_decode(
+    video_path: str,
+    center_ts: float,
+    num_frames: int,
+    fps: int,
+    crop_size: int,
+    rng: Optional[np.random.RandomState] = None,
+    center_crop_only: bool = False,
+) -> np.ndarray:
+    """Deterministic pseudo-video frames from (video name, timestamp).
+
+    Drop-in for ``ffmpeg_decode`` on hosts without an ffmpeg binary (this
+    image) and in tests: the output is a pure function of the clip identity —
+    independent of the caller's rng — so multi-process runs that build
+    different batch rows per host still agree bit-for-bit with a
+    single-process run of the same global batch."""
+    seed = zlib.crc32(
+        f"{os.path.basename(video_path)}@{center_ts:.3f}".encode()
+    ) & 0x7FFFFFFF
+    frames = np.random.RandomState(seed).rand(
+        num_frames, crop_size, crop_size, 3
+    )
+    return frames.astype(np.float32)
 
 
 class HTMClipDataset:
