@@ -430,19 +430,41 @@ def _pick_tiled_blocks(R: int, K: int, C: int, itemsize: int, bwd: bool):
     return None
 
 
-def fused_milnce_supported(R: int, K: int, C: int, itemsize: int) -> bool:
+def _padded_cols(K: int, ndev: int = 1) -> int:
+    """K rounded up to the next multiple of lcm(128, ndev).
+
+    128 is the tiled kernels' lane-sized column-block quantum; the ndev
+    factor keeps a padded text axis shardable over the mesh data axis
+    (all_gather/psum_scatter in _sharded_milnce tile dim 1 by ndev)."""
+    import math
+
+    q = math.lcm(128, ndev)
+    return -(-K // q) * q
+
+
+def _kernel_plans_exist(R: int, K: int, C: int, itemsize: int) -> bool:
+    """Both directions have SOME kernel plan (untiled or tiled) at exactly K."""
+    return all(
+        _plan(R, K, C, itemsize, bwd) is not None for bwd in (False, True)
+    )
+
+
+def fused_milnce_supported(R: int, K: int, C: int, itemsize: int,
+                           ndev: int = 1) -> bool:
     """True when forward and backward each have SOME kernel plan — the
     untiled full-K kernels or the column-tiled ones — within the VMEM
-    budget for logits [.., R, K] over C-dim features."""
+    budget for logits [.., R, K] over C-dim features.
+
+    Kernel eligibility is shape-independent in K: when no plan exists at K
+    itself (the tiled plans need 128 | K), fused_milnce_elements pads the
+    text axis to _padded_cols(K) with col_valid=False columns — masked
+    columns contribute exp(mask_value - m) == 0 to every logsumexp, so this
+    check also accepts shapes that only plan at the padded width."""
     if R % 8 != 0:
         return False
-    for bwd in (False, True):
-        if (
-            _pick_row_block(R, K, C, itemsize, bwd) is None
-            and _pick_tiled_blocks(R, K, C, itemsize, bwd) is None
-        ):
-            return False
-    return True
+    return _kernel_plans_exist(R, K, C, itemsize) or _kernel_plans_exist(
+        R, _padded_cols(K, ndev), C, itemsize
+    )
 
 
 @functools.partial(
@@ -879,10 +901,29 @@ def fused_milnce_elements(
     S, R, C = video.shape
     K = text.shape[1]
     ndev = mesh.shape.get(data_axis, 1) if mesh is not None else 1
-    if not fused_milnce_supported(R // ndev, K, C, video.dtype.itemsize):
-        # no kernel plan (untiled or column-tiled) fits — e.g. K not a
-        # 128-multiple, or R not 8-divisible: fall back to the dense masked
-        # logsumexps — same math, logits materialized, GSPMD-shardable.
+    it = video.dtype.itemsize
+
+    # kernel eligibility is shape-independent in K: when no plan exists at K
+    # itself (the tiled plans need 128 | K), pad the text axis with
+    # col_valid=False columns to the next plannable width and slice t_el
+    # back.  Masked columns hold the constant mask_value in every logsumexp
+    # (exp(mask_value - m) == 0), so the math is unchanged; jnp.pad's VJP
+    # slices the padded text gradient back automatically.  The one skew: a
+    # FULLY-masked row's pos-lse is lse over Kp (not K) copies of mask_value,
+    # i.e. shifted by log(Kp/K) (~0.06) on the ~-6e4 sentinel — loss-inert,
+    # because losses/tan_loss.py row_mask drops zero-positive rows from the
+    # masked mean (and its gradient is zero either way).
+    if fused_milnce_supported(R // ndev, K, C, it, ndev):
+        pad = (
+            0
+            if _kernel_plans_exist(R // ndev, K, C, it)
+            else _padded_cols(K, ndev) - K
+        )
+    else:
+        # no kernel plan (untiled or column-tiled) fits even padded — e.g.
+        # R not 8-divisible, or genuinely VMEM-oversized: fall back to the
+        # dense masked logsumexps — same math, logits materialized,
+        # GSPMD-shardable.
         # preferred_element_type keeps bf16 models' logits f32 like the
         # standard path (models/tan.py) and the kernel (_masked_tiles).
         sim = inv_temp * jnp.einsum(
@@ -897,6 +938,11 @@ def fused_milnce_elements(
         t_el = logsumexp(neg, axis=1) - logsumexp(pos, axis=1)
         return v_el, t_el
 
+    if pad:
+        text = jnp.pad(text, ((0, 0), (0, pad), (0, 0)))
+        pos_mask = jnp.pad(pos_mask, ((0, 0), (0, pad)))
+        col_valid = jnp.pad(col_valid, ((0, pad),))
+
     pm = pos_mask.astype(jnp.float32)
     cv = col_valid.astype(jnp.float32)[None, :]
     if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
@@ -908,4 +954,5 @@ def fused_milnce_elements(
         vnum, vden, tnum, tden = _milnce_core(
             interpret, float(inv_temp), float(mask_value), video, text, pm, cv
         )
-    return vden - vnum, tden - tnum
+    t_el = tden - tnum
+    return vden - vnum, (t_el[:, :K] if pad else t_el)
