@@ -163,3 +163,9 @@ class EvalConfig:
     # only adds per-transfer latency and pad rows).  Set >0 only on hosts
     # with genuinely async H2D.
     pipeline_videos: int = 0
+    # method='global' corpus eval: videos are sorted by length and split into
+    # at most this many padded-length buckets, each running ONE vmapped jit
+    # (text padded to the corpus max bucket) — bounding compiles at
+    # global_buckets instead of one per distinct round_up(vlen, 64) (dozens
+    # of 1-4 min tunnel compiles on a real 100-2000 s corpus).
+    global_buckets: int = 3

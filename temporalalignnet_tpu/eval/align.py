@@ -177,10 +177,33 @@ class AlignmentEvaluator:
                 align = jnp.max(masked, axis=-1)
             return sim, align
 
+        def global_video(params, videos, row_off, len_iota, text_embed,
+                         text_pad, vlen):
+            """Batched global-method element: gather this video's true-length
+            rows from the packed table into a len(len_iota) bucket and run one
+            global text_visual_sims (pos-enc interpolated at
+            effective_len=vlen).  vmapped over videos, this replaces the
+            per-video round_up(vlen, 64)-shaped jits — one compile per
+            distinct video length — with <= cfg.global_buckets compiles
+            (eval_zeroshot_align.py:207-216)."""
+            Tb = len_iota.shape[0]
+            idx = jnp.arange(Tb)
+            in_range = idx < vlen
+            # out-of-range rows gather the last real row; global_sims masks
+            # them via the padding mask so the values never contribute
+            vid = videos[row_off + jnp.minimum(idx, vlen - 1)]  # [Tb, C]
+            joint, dual, a_d, a_j = global_sims(
+                params, vid, ~in_range, text_embed, text_pad, vlen
+            )
+            return joint, a_j
+
         self._encode_text = jax.jit(encode_text)
         self._window_sims = jax.jit(window_sims)
         self._global_sims = jax.jit(global_sims)
         self._video_canvas = jax.jit(video_canvas)
+        self._global_video_batched = jax.jit(
+            jax.vmap(global_video, in_axes=(None, None, 0, None, 0, 0, 0))
+        )
         # corpus mode: vmap over a video batch — the whole eval set runs in a
         # handful of device calls (grouped by padded-shape bucket); the packed
         # video table and the canvas-sizing iota are shared (in_axes=None)
@@ -509,6 +532,93 @@ class AlignmentEvaluator:
                 }
         return results
 
+    def evaluate_corpus_global(self, corpus: Sequence[Dict]) -> List[Dict]:
+        """Batched global-method path (the BASELINE.md 'global' rows,
+        eval_zeroshot_align.py:207-216): one packed true-length corpus table,
+        text padded to the corpus-max bucket, videos sorted by length and
+        split into <= cfg.global_buckets padded-length buckets — each bucket
+        is ONE vmapped jit call, so an 80-video corpus compiles at most
+        global_buckets programs instead of one per distinct
+        round_up(vlen, 64).  With a mesh, the video axis shards over 'data'
+        (buckets padded to a multiple of the axis size by repeating the last
+        video) like the overlap-seq canvas path."""
+        if not corpus:
+            return []
+        cfg = self.cfg
+        preps = [self._prepare_video(item) for item in corpus]
+
+        # corpus-wide deduped true-length table (one upload, like the canvas
+        # path — padded per-video buckets were ~98% of eval wall on the tunnel)
+        vid_keys = [item.get("vid", i) for i, item in enumerate(corpus)]
+        uniq: Dict = {}
+        for i, k in enumerate(vid_keys):
+            uniq.setdefault(k, preps[i]["video"])
+        table, uoffs = pack_video_table(list(uniq.values()), self.model.dtype)
+        off_of = dict(zip(uniq.keys(), uoffs))
+        table_d = self._put_replicated(table)
+
+        dp = 1
+        if self._batch_sharding is not None:
+            dp = self._batch_sharding.mesh.shape[self._batch_sharding.spec[0]]
+
+        def put(arr):
+            if self._batch_sharding is not None:
+                from temporalalignnet_tpu.parallel.mesh import put_from_host
+
+                return put_from_host(arr, self._batch_sharding)
+            return jnp.asarray(arr)
+
+        # one corpus-wide text bucket: re-padding every video's ids to the
+        # max keeps the compile count at the number of LENGTH buckets only
+        # (text is tiny next to the video axis)
+        Nb = max(p["n_bucket"] for p in preps)
+        W = preps[0]["ids"].shape[1]
+
+        order = sorted(range(len(corpus)), key=lambda i: preps[i]["vlen"])
+        nb = max(1, min(cfg.global_buckets, len(order)))
+        buckets = [
+            order[len(order) * j // nb : len(order) * (j + 1) // nb]
+            for j in range(nb)
+        ]
+
+        results: List[Optional[Dict]] = [None] * len(corpus)
+        pending = []
+        for bidxs in buckets:
+            if not bidxs:
+                continue
+            Tb = _round_up(max(preps[i]["vlen"] for i in bidxs), 64)
+            take = list(bidxs) + [bidxs[-1]] * ((-len(bidxs)) % dp)
+            V = len(take)
+            ids = np.zeros((V, Nb, W), np.int32)
+            tpad = np.ones((V, Nb), bool)
+            for k, i in enumerate(take):
+                n, b = preps[i]["n_text"], preps[i]["n_bucket"]
+                ids[k, :b] = preps[i]["ids"]
+                tpad[k, :n] = False
+            row_off = put(
+                np.asarray([int(off_of[vid_keys[i]]) for i in take], np.int32)
+            )
+            vlens = put(np.asarray([preps[i]["vlen"] for i in take], np.int32))
+            text = self._encode_text(self.params, put(ids))
+            joint_d, aj_d = self._global_video_batched(
+                self.params, table_d, row_off, jnp.zeros(Tb, jnp.int8),
+                text, put(tpad), vlens,
+            )
+            pending.append((bidxs, joint_d, aj_d))
+
+        from temporalalignnet_tpu.parallel.mesh import fetch_global
+
+        for bidxs, joint_d, aj_d in pending:
+            joint = fetch_global(joint_d)
+            aj = fetch_global(aj_d)
+            for k, i in enumerate(bidxs):
+                n, v = preps[i]["n_text"], preps[i]["vlen"]
+                results[i] = {
+                    "sim": joint[k, :v, :n].T,  # [N, vlen] (:209-210)
+                    "align_score": aj[k, :n],
+                }
+        return results
+
     def _put_replicated(self, table):
         if self._batch_sharding is not None:
             from temporalalignnet_tpu.parallel.mesh import (
@@ -529,7 +639,9 @@ class AlignmentEvaluator:
             # fused on-device canvas, single-chip or sharded over the mesh
             per_video = self.evaluate_corpus_batched(corpus)
         else:
-            per_video = [self.evaluate_video(item) for item in corpus]
+            # bucketed vmapped path (<= cfg.global_buckets compiles); the
+            # per-video evaluate_video path remains for parity testing
+            per_video = self.evaluate_corpus_global(corpus)
 
         recall = []
         all_scores, all_tgts = [], []

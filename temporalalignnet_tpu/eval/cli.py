@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bert_dir", default=None,
                    help="local HF dir (config.json/vocab.txt) for bert")
     p.add_argument("--method", default="overlap-seq", choices=["overlap-seq", "global"])
+    p.add_argument("--global_buckets", type=int, default=3,
+                   help="method=global: max padded-length buckets (= compiled "
+                        "programs) the corpus splits into; tunnel compiles "
+                        "cost minutes each, so keep this small")
     p.add_argument("--seq_len", type=int, default=64)
     p.add_argument("--max_words", type=int, default=32)
     p.add_argument("--video_embed_dim", type=int, default=1024)
@@ -271,6 +275,7 @@ def main(argv: Optional[list] = None) -> dict:
         use_alignability_head=mcfg.use_alignability_head,
         num_clips=args.num_clips,
         batch_windows=args.batch_windows,
+        global_buckets=args.global_buckets,
     )
     mesh = None
     if args.shard_eval and jax.device_count() > 1:

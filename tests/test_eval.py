@@ -261,6 +261,89 @@ class TestAlignmentEvaluator:
         assert not np.allclose(head_last, head_layer2, atol=1e-4)
 
 
+class TestGlobalCorpusBatched:
+    """method='global' corpus path: bucketed vmapped jits (VERDICT r3 #2) vs
+    the per-video evaluate_video oracle."""
+
+    def _spy(self, ev):
+        calls = []
+        real = ev._global_video_batched
+
+        def wrapper(params, table, row_off, len_iota, text, tpad, vlens):
+            calls.append(len_iota.shape[0])
+            return real(params, table, row_off, len_iota, text, tpad, vlens)
+
+        ev._global_video_batched = wrapper
+        return calls
+
+    @pytest.mark.parametrize("use_head", [True, False])
+    def test_matches_per_video(self, rng, use_head):
+        """Varied vlens + per-video text counts: the packed-table bucketed
+        path must reproduce evaluate_video (which pads each video to its own
+        round_up(vlen, 64) and text to its own bucket)."""
+        model, params = tiny_model(
+            use_alignability_head=use_head, num_joint_layers=3
+        )
+        corpus = make_corpus(rng, num_videos=5, min_len=40, max_len=150)
+        ev = AlignmentEvaluator(
+            model, params,
+            EvalConfig(seq_len=32, method="global", global_buckets=2),
+        )
+        calls = self._spy(ev)
+        batched = ev.evaluate_corpus_global(corpus)
+        per_video = [ev.evaluate_video(item) for item in corpus]
+        assert len(calls) <= 2 and len(set(calls)) <= 2, calls  # compile bound
+        for a, b in zip(per_video, batched):
+            assert a["sim"].shape == b["sim"].shape
+            np.testing.assert_allclose(b["sim"], a["sim"], atol=2e-4)
+            np.testing.assert_allclose(
+                b["align_score"], a["align_score"], atol=2e-4
+            )
+
+    def test_evaluate_uses_batched_path(self, rng):
+        model, params = tiny_model()
+        corpus = make_corpus(rng, num_videos=3)
+        ev = AlignmentEvaluator(
+            model, params, EvalConfig(seq_len=32, method="global")
+        )
+        calls = self._spy(ev)
+        m = ev.evaluate(corpus)
+        assert calls, "evaluate() did not dispatch the batched global path"
+        assert 0.0 <= m["AUC"] <= 1.0
+        # metrics equal the per-video loop's
+        per_video = [ev.evaluate_video(item) for item in corpus]
+        ev2 = AlignmentEvaluator(
+            model, params, EvalConfig(seq_len=32, method="global")
+        )
+        ev2.evaluate_corpus_global = lambda c: per_video
+        m2 = ev2.evaluate(corpus)
+        assert m["Recall"] == pytest.approx(m2["Recall"])
+        assert m["AUC"] == pytest.approx(m2["AUC"], abs=1e-6)
+
+    def test_sharded_matches_single_device(self, rng):
+        """Video axis sharded over the 8-device 'data' mesh (buckets padded by
+        repeating the last video) reproduces single-device results."""
+        import jax as _jax
+
+        if _jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU mesh CI)")
+        from temporalalignnet_tpu.parallel.mesh import make_mesh
+
+        model, params = tiny_model(use_alignability_head=True)
+        corpus = make_corpus(rng, num_videos=3, min_len=40, max_len=100)
+        cfg = EvalConfig(seq_len=32, method="global", global_buckets=2)
+        a = AlignmentEvaluator(model, params, cfg).evaluate_corpus_global(corpus)
+        mesh = make_mesh(dp_size=8, tp_size=1)
+        b = AlignmentEvaluator(
+            model, params, cfg, mesh=mesh
+        ).evaluate_corpus_global(corpus)
+        for ra, rb in zip(a, b):
+            np.testing.assert_allclose(rb["sim"], ra["sim"], atol=2e-5)
+            np.testing.assert_allclose(
+                rb["align_score"], ra["align_score"], atol=2e-5
+            )
+
+
 class TestRetrieval:
     def test_sample_clip_windows_cover_segment(self):
         feat = np.arange(300, dtype=np.float32)[:, None].repeat(4, 1)
