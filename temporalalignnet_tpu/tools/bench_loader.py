@@ -36,8 +36,12 @@ from temporalalignnet_tpu.models.word2vec import Word2VecTokenizer
 WORDS = [f"word{i}" for i in range(600)]
 
 
-def build_corpus(root: str, n_videos: int, rng: np.random.RandomState) -> str:
-    """Reference-scale synthetic corpus: {vid}.mp4.npy + captions json."""
+def build_corpus(
+    root: str, n_videos: int, rng: np.random.RandomState
+) -> "tuple[str, str]":
+    """Reference-scale synthetic corpus: {vid}.mp4.npy + captions json.
+
+    Returns (feature_dir, captions_json_path)."""
     feat_dir = os.path.join(root, "features")
     os.makedirs(feat_dir, exist_ok=True)
     captions = {}
@@ -91,6 +95,12 @@ def main(argv=None) -> None:
             cache_videos=args.cache_videos,
         )
         print(f"corpus: {len(ds)} samples over {args.videos} videos")
+        if len(ds) < args.batch_size:
+            raise SystemExit(
+                f"corpus too small: {len(ds)} samples < batch_size "
+                f"{args.batch_size} and drop_last leaves zero batches — "
+                "raise --videos or lower --batch_size"
+            )
 
         for w in [int(x) for x in args.workers.split(",")]:
             loader = TrainLoader(
@@ -99,8 +109,12 @@ def main(argv=None) -> None:
             )
             # warm one batch (thread pool spin-up, page cache); an epoch is
             # one window per video (reference semantics), so loop epochs
-            # until enough batches are timed
-            next(iter(loader))
+            # until enough batches are timed.  Close the warm-up iterator
+            # explicitly so its producer stops before the timed loop starts
+            # (otherwise it may race one extra batch on the shared pool).
+            it = iter(loader)
+            next(it)
+            it.close()
             t0 = time.perf_counter()
             n, epoch = 0, 0
             while n < args.batches * args.batch_size:
