@@ -32,9 +32,10 @@ SEQ_LEN = 64
 HEAD_LAYER = 2  # "3rd layer works the best" (eval_zeroshot_align.py:186)
 
 
-def _write_corpus(tmp_path, rng, num_videos=2):
+def _write_corpus(tmp_path, rng, num_videos=2, words=None):
     """Synthetic HTM-Align-format corpus + vocab on disk."""
-    words = np.array([f"w{i}" for i in range(FULL["vocab_words"])])
+    if words is None:
+        words = np.array([f"w{i}" for i in range(FULL["vocab_words"])])
     vocab_path = tmp_path / "s3d_dict.npy"
     np.save(vocab_path, words)
     feat_dir = tmp_path / "features"
@@ -209,6 +210,70 @@ def test_full_scale_dress_rehearsal(tmp_path, rng):
     np.testing.assert_allclose(
         res["align_score"], oracle_canvases[0]["align_score"], atol=5e-5, rtol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_bert_tan_dress_rehearsal(tmp_path, rng):
+    """language_model='bert' variant (reference tan_model.py:37-40): a genuine
+    BERT-TAN ``.pth.tar`` — a real HF BertModel under the ``bert.*`` key space,
+    TAN at the full E6D6 scale with the reference's 768-d text dim — through
+
+        disk .pth.tar -> converter -> eval CLI -> metrics
+
+    asserted against an independent torch-side overlap-seq eval: the BERT
+    analogue of test_full_scale_dress_rehearsal (VERDICT r3 #6).  BERT depth
+    is reduced to 2 layers for CI time; the converter's per-layer mapping is
+    structural, so 2 layers exercise it fully (activation parity for the
+    encoder itself: test_bert_train.py::test_bert_checkpoint_conversion_parity)."""
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    from temporalalignnet_tpu.data import HTMAlignDataset
+    from temporalalignnet_tpu.eval.cli import main as eval_cli_main
+
+    words = [f"w{i}" for i in range(2000)]
+    bert_dir = tmp_path / "bert_dir"
+    bert_dir.mkdir()
+    bcfg = BertConfig(
+        vocab_size=4 + len(words), hidden_size=768, num_hidden_layers=2,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=512,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bcfg.to_json_file(str(bert_dir / "config.json"))
+    (bert_dir / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + words) + "\n"
+    )
+
+    torch.manual_seed(3)
+    tmodel = TorchTAN(
+        width=512, heads=8, enc_layers=6, joint_layers=6, vdim=1024,
+        num_pos=1024, text_dim=768, text_encoder=BertModel(bcfg),
+    ).eval()
+    ckpt_path = tmp_path / "cotrain_bert_htm-370k_len64_e6d6.pth.tar"
+    torch.save(
+        {"epoch": 2, "state_dict": tmodel.state_dict(), "iteration": 99},
+        ckpt_path,
+    )
+
+    feat_dir, anno_path, _ = _write_corpus(tmp_path, rng, words=np.array(words))
+
+    out = eval_cli_main(
+        [
+            "--task", "align",
+            "--ckpt", str(ckpt_path),
+            "--features", feat_dir,
+            "--anno", anno_path,
+            "--language_model", "bert",
+            "--bert_dir", str(bert_dir),
+            "--f32",
+        ]
+    )
+
+    tok = BertTokenizer.from_pretrained(str(bert_dir))
+    corpus = list(HTMAlignDataset(feat_dir, anno_path, tok, 32))
+    oracle, _ = _torch_overlap_seq_eval(tmodel, corpus)
+    assert out["Recall"] == pytest.approx(oracle["Recall"], abs=1e-9)
+    assert out["AUC"] == pytest.approx(oracle["AUC"], abs=1e-4)
 
 
 @pytest.mark.slow

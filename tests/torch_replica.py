@@ -86,9 +86,20 @@ class TorchTAN(nn.Module):
         vocab_words=66250,
         num_pos=1024,
         text_dim=512,
+        text_encoder=None,
     ):
+        """``text_encoder``: pass a real HF ``BertModel`` for the reference's
+        language_model='bert' variant (tan_model.py:37-40) — the attribute is
+        still named ``bert`` so the state_dict carries the genuine
+        ``bert.embeddings/encoder/pooler.*`` key space the converter maps;
+        its pooler_output is the sentence embedding (text_dim must equal its
+        hidden_size, 768 for the reference recipe)."""
         super().__init__()
-        self.bert = TorchWord2Vec(vocab_words, output_dim=text_dim)
+        self.bert = (
+            text_encoder
+            if text_encoder is not None
+            else TorchWord2Vec(vocab_words, output_dim=text_dim)
+        )
         self.video_temporal_encoder = TorchEncoder(width, heads, enc_layers)
         self.joint_temporal_encoder = TorchEncoder(width, heads, joint_layers)
         self.video_pre_proj = nn.Linear(vdim, width, bias=False)
@@ -103,9 +114,24 @@ class TorchTAN(nn.Module):
         self.mlp = nn.Linear(width, width)  # unused, as in the reference
         self.binary_head = nn.Linear(width, 1)
 
+    def _encode_text(self, ids, tok_mask):
+        if isinstance(self.bert, TorchWord2Vec):
+            return self.bert(ids, tok_mask)
+        # HF BertModel: pooled [CLS] embedding, matching
+        # TANWithText.encode_text's pooler_output read (flattened to the
+        # 2-D [B*N, W] batch BertModel expects, like encode_text does)
+        lead = ids.shape[:-1]
+        flat_ids = ids.reshape(-1, ids.shape[-1])
+        pooled = self.bert(
+            input_ids=flat_ids,
+            attention_mask=tok_mask.reshape(-1, ids.shape[-1]),
+            token_type_ids=torch.zeros_like(flat_ids),
+        ).pooler_output
+        return pooled.reshape(*lead, -1)
+
     def forward(self, video, ids, tok_mask, lang_padding_mask):
         nrm = lambda x: x / x.norm(dim=-1, keepdim=True)
-        text = self.ln_text_init(self.text_pre_proj(self.bert(ids, tok_mask)))
+        text = self.ln_text_init(self.text_pre_proj(self._encode_text(ids, tok_mask)))
 
         v = self.ln_video_init(self.video_pre_proj(video))
         v = v + self.ln_position_init(self.temporal_pos_embed[: v.shape[1]])
