@@ -43,7 +43,19 @@ def ffmpeg_decode_video(path: str, fps: int, size: int) -> np.ndarray:
 
 
 class FeatureExtractor:
-    """encode_clip: [B, T, H, W, 3] -> [B, C]; one feature per second."""
+    """encode_clip: [B, T, H, W, 3] -> [B, C]; one feature per second.
+
+    Backbone coverage note (extract_feature_template.py model branches):
+    S3D, CLIP ViT B/32-L/14, and TimeSformer have native towers + converters
+    (make_s3d_encoder / make_clip_encoder / make_timesformer_encoder below).
+    InternVideo-MM-L-14 (:271-280, :297) is BLOCKED here: its weights and
+    model source are unavailable in this environment, so no parity anchor
+    can be constructed — a tower written blind would be unverifiable.  The
+    extractor treats backbones as injected ``encode_clip`` callables
+    precisely so an InternVideo tower drops in with no extractor change
+    once weights exist (the TimeSformer tower already covers the
+    divided-space-time video-transformer architecture family, and the
+    fps-8 / 8-frame-clip layout it needs is the same, :266-280)."""
 
     def __init__(
         self,
