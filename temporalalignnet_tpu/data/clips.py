@@ -92,9 +92,14 @@ def synthetic_decode(
     independent of the caller's rng — so multi-process runs that build
     different batch rows per host still agree bit-for-bit with a
     single-process run of the same global batch."""
-    seed = zlib.crc32(
-        f"{os.path.basename(video_path)}@{center_ts:.3f}".encode()
-    ) & 0x7FFFFFFF
+    # seed from the last TWO path components, not just the basename: distinct
+    # videos dir1/a.mp4 vs dir2/a.mp4 must yield distinct pseudo-frames or the
+    # bitwise batch-hash discriminator in the multi-process parity tests
+    # weakens.  (Not the absolute path — runs must stay relocatable across
+    # video roots for cross-topology comparisons.)
+    norm = video_path.replace(os.sep, "/").rstrip("/")
+    ident = "/".join(norm.split("/")[-2:])
+    seed = zlib.crc32(f"{ident}@{center_ts:.3f}".encode()) & 0x7FFFFFFF
     frames = np.random.RandomState(seed).rand(
         num_frames, crop_size, crop_size, 3
     )

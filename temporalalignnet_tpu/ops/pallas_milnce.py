@@ -914,9 +914,12 @@ def fused_milnce_elements(
     # because losses/tan_loss.py row_mask drops zero-positive rows from the
     # masked mean (and its gradient is zero either way).
     if fused_milnce_supported(R // ndev, K, C, it, ndev):
+        # pad also when a plan exists at exact K but K is not ndev-divisible:
+        # _sharded_milnce's P(None, axis, None) text spec tiles dim 1 by ndev,
+        # so an exact-K plan with ndev ∤ K would fail inside shard_map.
         pad = (
             0
-            if _kernel_plans_exist(R // ndev, K, C, it)
+            if _kernel_plans_exist(R // ndev, K, C, it) and K % ndev == 0
             else _padded_cols(K, ndev) - K
         )
     else:
