@@ -16,9 +16,11 @@ from temporalalignnet_tpu.checkpoint.timesformer_convert import (
 )
 from temporalalignnet_tpu.checkpoint.torch_convert import (
     diff_param_trees,
+    flax_to_torch_state,
     load_reference_checkpoint,
     neq_merge,
     params_to_torch,
+    save_reference_checkpoint,
     split_twin_state_dict,
     stage1_to_stage2,
     torch_to_params,
@@ -32,8 +34,10 @@ __all__ = [
     "load_params",
     "save_params",
     "diff_param_trees",
+    "flax_to_torch_state",
     "load_reference_checkpoint",
     "neq_merge",
+    "save_reference_checkpoint",
     "load_milnce_checkpoint",
     "s3d_torch_to_variables",
     "params_to_torch",

@@ -173,6 +173,25 @@ def torch_to_params(
     return params
 
 
+def _flax_bert_to_torch(
+    tree: Dict[str, Any], out: Dict[str, np.ndarray], prefix: str
+) -> None:
+    """Inverse of :func:`_hf_bert_to_flax`: walk the FlaxBertModule param tree
+    (HF torch and flax BERTs share module paths) and emit torch dotted keys —
+    ``kernel`` -> ``weight`` transposed, ``scale``/``embedding`` -> ``weight``
+    as-is, ``bias`` -> ``bias``.  (torch's non-persistent ``position_ids``
+    buffer is not a parameter and is not emitted.)"""
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            _flax_bert_to_torch(v, out, f"{prefix}{k}.")
+        elif k == "kernel":
+            out[f"{prefix}weight"] = np.asarray(v).T
+        elif k in ("scale", "embedding"):
+            out[f"{prefix}weight"] = np.asarray(v)
+        else:  # bias
+            out[f"{prefix}{k}"] = np.asarray(v)
+
+
 def params_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse of :func:`torch_to_params` (numpy arrays; caller wraps in tensors).
 
@@ -181,21 +200,28 @@ def params_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """
     out: Dict[str, np.ndarray] = {}
     lang = params.get("lang_model", {})
-    if lang:
+    if "bert" in lang:
+        # language_model='bert': a FlaxBertModule tree under lang_model/bert
+        # -> the genuine HF ``bert.embeddings/encoder/pooler.*`` key space
+        # (tan_model.py:37-38)
+        _flax_bert_to_torch(lang["bert"], out, "bert.")
+    elif lang:
         out["bert.word_embd.weight"] = np.asarray(lang["word_embd"]["embedding"])
         for fc in ("fc1", "fc2"):
             out[f"bert.{fc}.weight"] = np.asarray(lang[fc]["kernel"]).T
             out[f"bert.{fc}.bias"] = np.asarray(lang[fc]["bias"])
 
-    al = params["aligner"]
+    al = params.get("aligner", {})
     for proj in ("video_pre_proj", "text_pre_proj"):
-        out[f"{proj}.weight"] = np.asarray(al[proj]["kernel"]).T
+        if proj in al:
+            out[f"{proj}.weight"] = np.asarray(al[proj]["kernel"]).T
     if "binary_head" in al:
         out["binary_head.weight"] = np.asarray(al["binary_head"]["kernel"]).T
         out["binary_head.bias"] = np.asarray(al["binary_head"]["bias"])
     for ln in _LN[2:]:  # model-level LNs
-        out[f"{ln}.weight"] = np.asarray(al[ln]["scale"])
-        out[f"{ln}.bias"] = np.asarray(al[ln]["bias"])
+        if ln in al:
+            out[f"{ln}.weight"] = np.asarray(al[ln]["scale"])
+            out[f"{ln}.bias"] = np.asarray(al[ln]["bias"])
     for tbl in ("temporal_pos_embed", "text_temporal_pos_embed"):
         if tbl in al:
             out[tbl] = np.asarray(al[tbl])
@@ -227,6 +253,84 @@ def params_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
                 out[f"{pre}.mlp.{fc}.weight"] = np.asarray(blk["mlp"][fc]["kernel"]).T
                 out[f"{pre}.mlp.{fc}.bias"] = np.asarray(blk["mlp"][fc]["bias"])
     return out
+
+
+def flax_to_torch_state(
+    params: Dict[str, Any], ema_params: Optional[Dict[str, Any]] = None
+) -> Dict[str, np.ndarray]:
+    """Full reverse converter: a TANWithText param tree (+ optional EMA tree)
+    -> the torch ``state_dict`` key space the reference saves.
+
+    Stage-1 (``ema_params=None``): plain TemporalAligner keys — the inverse of
+    every :func:`torch_to_params` rule (QKV kernels re-packed into
+    ``in_proj_weight`` rows [q; k; v], Dense kernels transposed back to
+    ``weight [out, in]``, LayerNorm ``scale`` -> ``weight``).
+
+    Stage-2: the TwinTemporalAligner key space (reference tan_model.py:315-323)
+    — ``online.*`` from ``params``, ``target.*`` from ``ema_params``, plus the
+    module-level ``bert.*`` alias keys that torch's state_dict emits because
+    the twin registers ``self.bert = self.online.bert`` (tan_model.py:323), so
+    a strict ``load_state_dict`` into the reference twin module succeeds.
+
+    The reference's unused ``self.mlp`` Linear and ``logit_scale`` /
+    ``entropy_scale`` scalars (dropped on import — they never enter the
+    forward, tan_model.py:68) have no flax-side values and are NOT emitted;
+    the reference loads checkpoints through ``neq_load_customized``
+    (utils/utils.py:302-312), which keeps its fresh init for them.
+    """
+    online = params_to_torch(params)
+    if ema_params is None:
+        return online
+    target = params_to_torch(ema_params)
+    out = {f"online.{k}": v for k, v in online.items()}
+    out.update({f"target.{k}": v for k, v in target.items()})
+    # the twin's bert alias shares the ONLINE tensors (same module object)
+    out.update({k: v for k, v in online.items() if k.startswith("bert.")})
+    return out
+
+
+def save_reference_checkpoint(
+    path: str,
+    params: Dict[str, Any],
+    ema_params: Optional[Dict[str, Any]] = None,
+    epoch: int = 0,
+    iteration: int = 0,
+    best_acc: float = 0.0,
+    optimizer: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a reference-format ``.pth.tar`` checkpoint the upstream tooling
+    consumes: the flat dict ``{epoch, state_dict, best_acc, optimizer,
+    iteration}`` (reference utils/utils.py:39-57, train/main.py:146-151),
+    tensors as torch CPU tensors.
+
+    ``optimizer`` passes through verbatim (a torch ``optimizer.state_dict()``
+    if the caller has one); optax state is not translated — torch-side RESUME
+    re-inits its optimizer, while eval harnesses ignore the field entirely.
+    """
+    import torch
+
+    def to_tensor(v: np.ndarray) -> "torch.Tensor":
+        v = np.ascontiguousarray(v)
+        if v.dtype.name == "bfloat16":  # ml_dtypes bf16 has no torch bridge
+            # reference checkpoints are f32; upcast (exact — bf16 ⊂ f32)
+            v = v.astype(np.float32)
+        if not v.flags.writeable:  # torch.from_numpy rejects frozen views
+            v = v.copy()
+        return torch.from_numpy(v)
+
+    sd = {
+        k: to_tensor(v) for k, v in flax_to_torch_state(params, ema_params).items()
+    }
+    torch.save(
+        {
+            "epoch": int(epoch),
+            "state_dict": sd,
+            "best_acc": float(best_acc),
+            "optimizer": optimizer if optimizer is not None else {},
+            "iteration": int(iteration),
+        },
+        path,
+    )
 
 
 def split_twin_state_dict(

@@ -651,6 +651,14 @@ def main(argv: Optional[list] = None) -> dict:
                 state.params,
                 overwrite=True,
             )
+            if state.ema_params is not None:
+                # the twin's target half — what tools/export_torch.py packs
+                # into the reference's Stage-2 ``target.*`` key space
+                save_params(
+                    os.path.join(exp_dir, "ema_latest"),
+                    state.ema_params,
+                    overwrite=True,
+                )
 
     ckpt.wait()
     ckpt.close()

@@ -32,10 +32,12 @@ SEQ_LEN = 64
 HEAD_LAYER = 2  # "3rd layer works the best" (eval_zeroshot_align.py:186)
 
 
-def _write_corpus(tmp_path, rng, num_videos=2, words=None):
+def _write_corpus(tmp_path, rng, num_videos=2, words=None, vdim=None):
     """Synthetic HTM-Align-format corpus + vocab on disk."""
     if words is None:
         words = np.array([f"w{i}" for i in range(FULL["vocab_words"])])
+    if vdim is None:
+        vdim = FULL["vdim"]
     vocab_path = tmp_path / "s3d_dict.npy"
     np.save(vocab_path, words)
     feat_dir = tmp_path / "features"
@@ -44,7 +46,7 @@ def _write_corpus(tmp_path, rng, num_videos=2, words=None):
     for v in range(num_videos):
         vlen = int(rng.randint(96, 120))  # one Vb bucket -> one jit shape
         vid = f"dress{v:02d}"
-        np.save(feat_dir / f"{vid}.npy", (rng.randn(vlen, FULL["vdim"]) * 0.5).astype(np.float32))
+        np.save(feat_dir / f"{vid}.npy", (rng.randn(vlen, vdim) * 0.5).astype(np.float32))
         sents, t = [], 2.0
         while t < vlen - 10 and len(sents) < 10:
             start = t
