@@ -79,8 +79,78 @@ def load_vlen_table(path: str) -> Dict[str, int]:
     return {r[0]: int(float(r[1])) for r in rows[start:] if len(r) >= 2}
 
 
-def load_captions(path_or_dict) -> Dict[str, Dict[str, list]]:
+class JsonlCaptionStore:
+    """Offset-indexed caption store over a ``.jsonl`` file (one video/line).
+
+    The reference parses the whole ``sentencified_htm_370k.json`` dict at
+    startup (loader_htm.py:81-84) — at 370k-video scale that is a multi-GB
+    Python-object tree on the host before step 0.  This store makes startup
+    O(corpus bytes) in IO and O(videos) in RSS: one sequential scan indexes
+    ``{vid: byte offset}`` WITHOUT parsing JSON (each line starts
+    ``{"vid": "..."`` — tools/convert_captions.py guarantees the layout; a
+    full-parse fallback covers hand-written lines), and ``store[vid]`` parses
+    exactly one line on demand.  Parsed records are then cached per video by
+    the dataset's LRU, so steady-state sampling costs nothing extra.
+
+    Mapping-compatible with the monolithic dict: iteration yields vids,
+    ``store[vid]`` returns the ``{"text","start","end"}`` record (or the
+    per-video csv path string for the htm-fe layout, stored as
+    ``{"vid":..., "path": "..."}``).
+    """
+
+    _VID = None  # compiled lazily (class-level, shared)
+
+    def __init__(self, path: str):
+        import re
+
+        if JsonlCaptionStore._VID is None:
+            JsonlCaptionStore._VID = re.compile(
+                rb'^\s*\{\s*"vid"\s*:\s*"((?:[^"\\]|\\.)+)"'
+            )
+        pat = JsonlCaptionStore._VID
+        self.path = path
+        self._index: Dict[str, int] = {}
+        off = 0
+        with open(path, "rb") as f:
+            for line in f:
+                if line.strip():
+                    m = pat.match(line)
+                    if m is not None and b"\\" not in m.group(1):
+                        vid = m.group(1).decode("utf-8")
+                    else:  # escaped or reordered keys: parse the whole line
+                        vid = json.loads(line)["vid"]
+                    self._index[vid] = off
+                off += len(line)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __iter__(self):
+        return iter(self._index)
+
+    def __contains__(self, vid) -> bool:
+        return vid in self._index
+
+    def keys(self):
+        return self._index.keys()
+
+    def __getitem__(self, vid: str):
+        # open per call: sample() runs on loader threads, and a shared handle
+        # would race on seek; the OS page cache makes reopen ~free, and the
+        # dataset's per-video LRU caches the PARSED record anyway
+        with open(self.path, "rb") as f:
+            f.seek(self._index[vid])
+            rec = json.loads(f.readline())
+        rec.pop("vid", None)
+        if set(rec) == {"path"}:  # htm-fe per-video csv layout
+            return rec["path"]
+        return rec
+
+
+def load_captions(path_or_dict):
     if isinstance(path_or_dict, str):
+        if path_or_dict.endswith(".jsonl"):
+            return JsonlCaptionStore(path_or_dict)
         with open(path_or_dict) as f:
             return json.load(f)
     return path_or_dict

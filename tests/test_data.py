@@ -175,6 +175,71 @@ class TestHTMDataset:
         np.testing.assert_array_equal(m, [False, False, False, True, True])
 
 
+class TestJsonlCaptionStore:
+    """The offset-indexed caption store (370k-scale startup, VERDICT r4 #3)
+    must be a bit-identical drop-in for the monolithic dict."""
+
+    def _convert(self, json_path, tmp_path):
+        from temporalalignnet_tpu.tools.convert_captions import convert
+
+        out = str(tmp_path / "caps.jsonl")
+        convert(str(json_path), out)
+        return out
+
+    def test_store_matches_dict(self, htm_root, tmp_path):
+        from temporalalignnet_tpu.data.htm import JsonlCaptionStore
+
+        with open(htm_root["captions"]) as f:
+            ref = json.load(f)
+        store = JsonlCaptionStore(self._convert(htm_root["captions"], tmp_path))
+        assert list(store) == list(ref) and len(store) == len(ref)
+        for vid in ref:
+            assert vid in store
+            assert store[vid] == ref[vid]
+
+    def test_dataset_from_jsonl_is_bit_identical(self, htm_root, tokenizer, tmp_path):
+        jsonl = self._convert(htm_root["captions"], tmp_path)
+        kw = dict(mode="train", tokenizer=tokenizer, holdout=htm_root["holdout"])
+        a = HTMFeatureDataset(htm_root["feature_dir"], htm_root["captions"], CFG, **kw)
+        b = HTMFeatureDataset(htm_root["feature_dir"], jsonl, CFG, **kw)
+        assert a.video_ids == b.video_ids
+        for trial in range(2 * len(a)):
+            i = trial % len(a)
+            sa = a.sample(i, np.random.RandomState(trial))
+            sb = b.sample(i, np.random.RandomState(trial))
+            for k in sa:
+                np.testing.assert_array_equal(sa[k], sb[k], err_msg=f"{k}@{i}")
+
+    def test_streaming_converter_edges(self, tmp_path, monkeypatch):
+        """Unicode, escaped quotes in vids, htm-fe string values, empty dict,
+        and values split across refill boundaries (1-byte chunks)."""
+        import temporalalignnet_tpu.tools.convert_captions as cc
+        from temporalalignnet_tpu.data.htm import JsonlCaptionStore
+
+        data = {
+            'we"ird\\vid': {"text": ["a"], "start": [1.5], "end": [2.5]},
+            "unié中": {"text": ["café 中文"],
+                                "start": [0.25], "end": [12.0]},
+            "htmfe_vid": "per_video/htmfe_vid.csv",  # htm-fe path layout
+            "nums": {"text": [], "start": [], "end": []},
+        }
+        src = tmp_path / "caps.json"
+        src.write_text(json.dumps(data), encoding="utf-8")
+        monkeypatch.setattr(cc, "_CHUNK", 1)  # worst-case refill boundaries
+        out = str(tmp_path / "caps.jsonl")
+        assert cc.convert(str(src), out) == len(data)
+        store = JsonlCaptionStore(out)
+        assert set(store) == set(data)
+        for vid, rec in data.items():
+            assert store[vid] == rec
+
+        empty = tmp_path / "empty.json"
+        empty.write_text("{}")
+        out2 = str(tmp_path / "empty.jsonl")
+        assert cc.convert(str(empty), out2) == 0
+        assert len(JsonlCaptionStore(out2)) == 0
+
+
 class TestTrainLoader:
     def test_batches_and_determinism(self, htm_root, tokenizer):
         ds = HTMFeatureDataset(
