@@ -134,6 +134,10 @@ class JsonlCaptionStore:
     def keys(self):
         return self._index.keys()
 
+    def items(self):
+        for vid in self._index:
+            yield vid, self[vid]
+
     def __getitem__(self, vid: str):
         # open per call: sample() runs on loader threads, and a shared handle
         # would race on seek; the OS page cache makes reopen ~free, and the

@@ -114,6 +114,8 @@ def main(argv=None):
     p.add_argument("--seq_len", type=int, default=64)
     p.add_argument("--max_words", type=int, default=32)
     p.add_argument("--video_embed_dim", type=int, default=1024)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--heads", type=int, default=8)
     p.add_argument("--num_encoder_layers", type=int, default=6)
     p.add_argument("--num_joint_layers", type=int, default=6)
     p.add_argument("--use_alignability_head", type=int, default=1)
@@ -131,6 +133,8 @@ def main(argv=None):
 
     tokenizer = Word2VecTokenizer(args.vocab, max_words=args.max_words)
     mcfg = ModelConfig(
+        width=args.width,
+        heads=args.heads,
         num_encoder_layers=args.num_encoder_layers,
         num_joint_layers=args.num_joint_layers,
         video_embed_dim=args.video_embed_dim,
@@ -146,12 +150,18 @@ def main(argv=None):
 
         params = load_reference_checkpoint(args.ckpt)["params"]
     else:
+        import os
+
         from temporalalignnet_tpu.checkpoint import load_params
 
-        params = load_params(args.ckpt)
+        ckpt = args.ckpt
+        if os.path.isdir(os.path.join(ckpt, "params_latest")):
+            ckpt = os.path.join(ckpt, "params_latest")  # experiment dir
+        params = load_params(ckpt)
 
-    with open(args.captions) as f:
-        captions = json.load(f)
+    from temporalalignnet_tpu.data.htm import load_captions
+
+    captions = load_captions(args.captions)  # json, .jsonl store, or dict
     corpus = list(
         captions_to_corpus(captions, args.features, tokenizer, args.max_words)
     )

@@ -457,6 +457,15 @@ def main(argv: Optional[list] = None) -> dict:
         else:
             print(f"[bert] no weight file in {args.bert_dir}; training from scratch")
 
+    def _put_like(template, tree):
+        # re-upload merged host leaves with the TEMPLATE's shardings — a bare
+        # jnp.asarray lands everything on device 0 and breaks the jitted step
+        # under a multi-device mesh (caught by the full-pipeline seam test)
+        return jax.tree_util.tree_map(
+            lambda t, v: jax.device_put(np.asarray(v), t.sharding),
+            template, tree,
+        )
+
     if args.milnce_ckpt:
         # pretrained MIL-NCE text tower (reference loads it unconditionally,
         # model/word2vec_model.py:10-23)
@@ -471,14 +480,13 @@ def main(argv: Optional[list] = None) -> dict:
                 if "lang_model" in line:
                     print(f"[milnce] {line}")
             state = dataclasses.replace(
-                state, params=jax.tree_util.tree_map(jnp.asarray, merged)
+                state, params=_put_like(state.params, merged)
             )
             if state.ema_params is not None:
                 state = dataclasses.replace(
                     state,
-                    ema_params=jax.tree_util.tree_map(
-                        lambda x: x.copy(), state.params
-                    ),
+                    ema_params=_put_like(state.ema_params,
+                                         jax.device_get(state.params)),
                 )
 
     if args.test:
@@ -498,9 +506,9 @@ def main(argv: Optional[list] = None) -> dict:
         online, target = stage1_to_stage2(merged)
         state = dataclasses.replace(
             state,
-            params=jax.tree_util.tree_map(jnp.asarray, online),
+            params=_put_like(state.params, online),
             ema_params=(
-                jax.tree_util.tree_map(jnp.asarray, target)
+                _put_like(state.ema_params, target)
                 if loss_cfg.model == "cotrain"
                 else state.ema_params
             ),
