@@ -403,7 +403,18 @@ def _pick_tiled_blocks(R: int, K: int, C: int, itemsize: int, bwd: bool):
     br must be an 8-multiple divisor of R and bc a 128-multiple divisor of K
     (the (8, 128) block rule on the pm tile and the lane-sized vector
     blocks).  Candidates are tried balanced-largest-first: a square-ish tile
-    maximizes MXU work per byte of v/t traffic."""
+    maximizes MXU work per byte of v/t traffic.
+
+    ``TAN_MILNCE_TILE=br,bc`` overrides the choice (benchmark sweeps only —
+    the override skips the VMEM budget check, so an oversized tile fails at
+    Mosaic compile time rather than silently falling back)."""
+    import os
+
+    ov = os.environ.get("TAN_MILNCE_TILE")
+    if ov:
+        br, bc = (int(x) for x in ov.split(","))
+        if R % br == 0 and K % bc == 0:
+            return (br, bc)
     budget = 10 * 1024 * 1024
     cands = [
         (br, bc)

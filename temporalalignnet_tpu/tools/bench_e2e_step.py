@@ -41,6 +41,8 @@ def main(argv=None) -> dict:
                    help="1 = stop gradients into the early S3D blocks")
     p.add_argument("--f32", action="store_true",
                    help="float32 compute (default bf16 on TPU)")
+    p.add_argument("--fold_s2d", type=int, default=1,
+                   help="0 = explicit space_to_depth transpose before conv1")
     p.add_argument("--num_classes", type=int, default=512)
     p.add_argument("--max_words", type=int, default=16)
     p.add_argument("--vocab_size", type=int, default=66251)
@@ -70,6 +72,7 @@ def main(argv=None) -> dict:
         freeze_early=bool(args.freeze_early),
         train_bn_stats=bool(args.train_bn_stats),
         dtype=dtype,
+        fold_s2d=bool(args.fold_s2d),
     )
 
     rng = np.random.RandomState(0)
@@ -97,13 +100,19 @@ def main(argv=None) -> dict:
     )
     step = make_e2e_train_step(model, tx, temperature=0.07)
 
-    temp_mb = hbm_mb = None
+    temp_mb = hbm_mb = gflops = None
     try:
-        ma = step.lower(state, batch).compile().memory_analysis()
+        compiled = step.lower(state, batch).compile()
+        ma = compiled.memory_analysis()
         temp_mb = round(ma.temp_size_in_bytes / 2**20, 1)
         hbm_mb = round(
             (ma.temp_size_in_bytes + ma.argument_size_in_bytes
              + ma.output_size_in_bytes) / 2**20, 1)
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            gflops = round(float(ca["flops"]) / 1e9, 1)
     except Exception:
         pass
 
@@ -131,9 +140,14 @@ def main(argv=None) -> dict:
         "crop_size": S,
         "train_bn_stats": bool(args.train_bn_stats),
         "freeze_early": bool(args.freeze_early),
+        "fold_s2d": bool(args.fold_s2d),
         "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
         "temp_mb": temp_mb,
         "hbm_mb": hbm_mb,
+        "gflops_per_step": gflops,
+        "achieved_tflops": (
+            round(best * gflops / 1e3, 1) if gflops else None
+        ),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

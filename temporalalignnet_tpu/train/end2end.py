@@ -68,12 +68,14 @@ class S3DWithText:
         freeze_early: bool = False,
         train_bn_stats: bool = False,
         dtype=jnp.float32,
+        fold_s2d: bool = True,
     ):
         self.video = S3D(
             num_classes=num_classes,
             use_running_average=not train_bn_stats,
             freeze_early=freeze_early,
             dtype=dtype,
+            fold_s2d=fold_s2d,
         )
         self.text = Word2VecEncoder(
             vocab_size=vocab_size, output_dim=num_classes, dtype=dtype

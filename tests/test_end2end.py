@@ -172,6 +172,36 @@ class TestS3DParity:
             np.asarray(f_logits), t_logits.numpy(), atol=2e-4, rtol=1e-3
         )
 
+    def test_fold_s2d_matches_explicit_path(self, rng):
+        """The folded conv1 (stride-2 conv on RAW pixels with the scattered
+        kernel, models/s3d.py::_FoldedS2DConv) computes the same function as
+        explicit space_to_depth + conv1, on the SAME param tree — and both
+        gradients agree (it is the default path, so the equivalence is
+        what keeps every torch-parity bound above valid)."""
+        folded = S3D(num_classes=8, fold_s2d=True)
+        explicit = S3D(num_classes=8, fold_s2d=False)
+        x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), jnp.float32)
+        v = folded.init(jax.random.PRNGKey(2), x)
+        from temporalalignnet_tpu.checkpoint import diff_param_trees
+
+        v_e = explicit.init(jax.random.PRNGKey(2), x)
+        assert diff_param_trees(v_e["params"], v["params"]) == []
+
+        out_f = folded.apply(v, x, return_embedding=True)
+        out_e = explicit.apply(v, x, return_embedding=True)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_e), atol=1e-5, rtol=1e-5
+        )
+
+        def loss(variables, model):
+            return jnp.sum(model.apply(variables, x, return_embedding=True) ** 2)
+
+        g_f = jax.grad(lambda p: loss({**v, "params": p}, folded))(v["params"])
+        g_e = jax.grad(lambda p: loss({**v, "params": p}, explicit))(v["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_e)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_structure_matches_init(self, rng):
         torch.manual_seed(1)
         tmodel = TS3D()
