@@ -48,6 +48,9 @@ def main(argv=None) -> dict:
     p.add_argument("--vocab_size", type=int, default=66251)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler device trace of 10 "
+                        "steady-state steps after timing")
     args = p.parse_args(argv)
 
     import jax
@@ -128,6 +131,13 @@ def main(argv=None) -> dict:
         np.asarray(metrics["loss"])  # the only reliable fence on axon
         dt = time.perf_counter() - t0
         best = max(best, args.iters / dt)
+
+    if args.profile_dir:  # device trace of 10 steady-state steps
+        jax.profiler.start_trace(args.profile_dir)
+        for _ in range(10):
+            state, metrics = step(state, batch)
+        np.asarray(metrics["loss"])
+        jax.profiler.stop_trace()
 
     out = {
         "metric": "e2e_s3d_clips_per_sec",
