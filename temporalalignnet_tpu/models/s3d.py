@@ -81,13 +81,24 @@ class _FoldedS2DConv(nn.Module):
         )
 
 
-def batch_norm(use_running_average: bool, name: str) -> nn.BatchNorm:
-    """BN over the channel-last axis; eps matches torch BatchNorm3d (1e-5)."""
+def batch_norm(
+    use_running_average: bool, name: str, dtype: jnp.dtype = jnp.float32
+) -> nn.BatchNorm:
+    """BN over the channel-last axis; eps matches torch BatchNorm3d (1e-5).
+
+    ``dtype`` is the OUTPUT dtype, threaded from the tower's compute dtype.
+    Leaving it at flax's default (None) promotes every BN output to f32
+    (the f32 scale/bias win the promotion), which silently upcasts the
+    whole BN->ReLU->maxpool chain: measured on v5e, the bf16 e2e step then
+    spends 22.4% of device time in f32 max-pool-backward select-and-scatter
+    (profiles/e2e_step_b16_v5e.md). Stats are still computed in f32
+    internally by flax regardless of this dtype."""
     return nn.BatchNorm(
         use_running_average=use_running_average,
         momentum=0.9,
         epsilon=1e-5,
         axis=-1,
+        dtype=dtype,
         name=name,
     )
 
@@ -133,7 +144,7 @@ class STConv3D(nn.Module):
                 name=name,
             )(x)
 
-        bn = lambda name: batch_norm(self.use_running_average, name)
+        bn = lambda name: batch_norm(self.use_running_average, name, self.dtype)
         if self.fold_s2d:
             x = _FoldedS2DConv(self.output_dim, dtype=self.dtype, name="conv1")(x)
             return nn.relu(bn("bn1")(x))

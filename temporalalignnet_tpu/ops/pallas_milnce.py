@@ -407,7 +407,20 @@ def _pick_tiled_blocks(R: int, K: int, C: int, itemsize: int, bwd: bool):
 
     ``TAN_MILNCE_TILE=br,bc`` overrides the choice (benchmark sweeps only —
     the override skips the VMEM budget check, so an oversized tile fails at
-    Mosaic compile time rather than silently falling back)."""
+    Mosaic compile time rather than silently falling back).
+
+    MEASURED (stage-2 B=256 bf16 on v5e, bwd shape R=16384 K=4096 C=512):
+    wide column blocks win — (256,1024) 6.67 steps/s > (512,512) 6.46 >
+    (256,512) 6.41 > (1024,256) 6.19 > (512,256) 6.08 — each column pass
+    re-reads the v rows and re-emits the f32 accumulator, so fewer/wider
+    column blocks cut the streaming traffic.  Hence the bc-major
+    preference order below.  The bwd VMEM model is calibrated against a
+    real Mosaic report: (512,1024) allocates 17.45 MB (compile-OOM over
+    the 16 MB scoped limit; buffers per the block model below = 11.53 MB,
+    so only ~2.8 f32 [br,bc] intermediate tiles are live at once — Mosaic
+    reuses the elementwise chain), while (256,1024) compiles and runs.
+    Multiplier 4 + a 15 MB budget rejects the measured-OOM point with
+    1.4 MB of model slack and accepts the measured winner."""
     import os
 
     ov = os.environ.get("TAN_MILNCE_TILE")
@@ -415,7 +428,6 @@ def _pick_tiled_blocks(R: int, K: int, C: int, itemsize: int, bwd: bool):
         br, bc = (int(x) for x in ov.split(","))
         if R % br == 0 and K % bc == 0:
             return (br, bc)
-    budget = 10 * 1024 * 1024
     cands = [
         (br, bc)
         for br in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
@@ -423,7 +435,8 @@ def _pick_tiled_blocks(R: int, K: int, C: int, itemsize: int, bwd: bool):
         for bc in (1024, 512, 256, 128)
         if K % bc == 0
     ]
-    cands.sort(key=lambda p: (min(p), p[0] * p[1]), reverse=True)
+    # bc-major, then largest br: wide column blocks first (measured above)
+    cands.sort(key=lambda p: (p[1], p[0]), reverse=True)
     for br, bc in cands:
         # v + t blocks double-buffered, pm tile f32 double-buffered
         blocks = 2 * (br + bc) * C * itemsize + 2 * br * bc * 4
@@ -432,10 +445,12 @@ def _pick_tiled_blocks(R: int, K: int, C: int, itemsize: int, bwd: bool):
             # the dv ([br, C]) and dt ([bc, C]) kernels, which share blocks
             m = max(br, bc)
             blocks += 2 * m * C * itemsize + m * C * 4
-            tiles = 10 * br * bc * 4  # sim/pos/neg/4 probs/dsim + slack
+            tiles = 4 * br * bc * 4  # ~2.8 live f32 tiles measured + slack
+            budget = 15 * 1024 * 1024  # calibrated: see docstring
         else:
             blocks += 4 * (K + br) * 4  # (ncb, bc) col + (1, br) row scratch
-            tiles = 6 * br * bc * 4
+            tiles = 6 * br * bc * 4  # no Mosaic anchor for fwd: stay wary
+            budget = 10 * 1024 * 1024
         if blocks + tiles <= budget:
             return br, bc
     return None
